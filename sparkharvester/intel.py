@@ -1,0 +1,211 @@
+"""IOC extraction + threat scoring as pure Spark column expressions.
+
+Spark-first re-expression of the reference's intelligence layer
+(/root/reference/deepwebharvester/intelligence.py:239-337).  Everything
+here is native ``pyspark.sql.functions`` — no Python UDFs — so the whole
+stage stays inside whole-stage codegen and Catalyst can constant-fold
+the keyword literals.  At 100 TB this matters: IOC extraction over a
+documents table is a pure map stage with zero shuffle; it scales
+linearly with executors and the parquet scan only reads the ``text``
+column (column pruning).
+
+Semantics parity notes (vs intelligence.py):
+ - per-IOC lists are deduplicated + lexicographically sorted
+   (intelligence.py:252-271);
+ - private/RFC-1918 IPs excluded (intelligence.py:56-57);
+ - CVEs upper-cased before dedup (intelligence.py:264);
+ - the generic-URL list is capped at 50 (intelligence.py:269);
+ - ``ioc_total`` sums the 11 list lengths, pgp excluded
+   (intelligence.py:153-162);
+ - keyword hits use non-overlapping substring counts, Python
+   ``str.count`` semantics (intelligence.py:304);
+ - density = min(hits/(word_count/1000), 1.0); score = density*weight*10;
+   risk = min(max(scores), 10) rounded to 2dp; labels at 9/7/4
+   (intelligence.py:298-330);
+ - categories with score > 1.0, ordered by score desc with the
+   knowledge-base insertion order as tie-break (Python's stable sort,
+   intelligence.py:316-319).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .constants import (
+    CATEGORIES,
+    CATEGORY_ORDER,
+    CATEGORY_RISK,
+    DEFAULT_RISK_LABEL,
+    IOC_LIST_FIELDS,
+    IOC_PATTERNS,
+    PGP_MARKER,
+    PRIVATE_IP_PREFIXES,
+    RISK_THRESHOLDS,
+    URL_IOC_CAP,
+)
+
+# ---------------------------------------------------------------------------
+# IOC extraction (X8-X18 in SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_distinct(col: Column) -> Column:
+    return F.array_sort(F.array_distinct(col))
+
+
+def ioc_column(text: Column, ioc_type: str) -> Column:
+    """Array column of deduplicated, sorted IOC matches of one type."""
+    pattern = IOC_PATTERNS[ioc_type]
+    raw = F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+    if ioc_type == "ipv4":
+        # exclude private prefixes (intelligence.py:252-256)
+        def keep(ip: Column) -> Column:
+            cond = F.lit(False)
+            for p in PRIVATE_IP_PREFIXES:
+                cond = cond | ip.startswith(p)
+            return ~cond
+        return _sorted_distinct(F.filter(raw, keep))
+    if ioc_type == "cves":
+        return _sorted_distinct(F.transform(raw, lambda x: F.upper(x)))
+    if ioc_type == "urls":
+        return F.slice(_sorted_distinct(raw), 1, URL_IOC_CAP)
+    return _sorted_distinct(raw)
+
+
+def ioc_columns(text: Column) -> dict[str, Column]:
+    """All 11 IOC array columns + pgp_present + ioc_total."""
+    cols = {t: ioc_column(text, t) for t in IOC_LIST_FIELDS}
+    cols["pgp_present"] = text.contains(PGP_MARKER)
+    total = None
+    for t in IOC_LIST_FIELDS:
+        s = F.size(cols[t])
+        total = s if total is None else total + s
+    cols["ioc_total"] = total
+    return cols
+
+
+def with_iocs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append IOC columns to *df* (replaces intelligence.py:239-271)."""
+    cols = ioc_columns(F.col(text_col))
+    return df.withColumns(cols)
+
+
+# ---------------------------------------------------------------------------
+# Threat classification (X19-X22)
+# ---------------------------------------------------------------------------
+
+
+def word_count(text_lower: Column) -> Column:
+    """max(len(text.split()), 1) — Python str.split() semantics (no empty
+    tokens), intelligence.py:299."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(text_lower, F.lit(r"\S+"), F.lit(0))),
+        F.lit(1),
+    )
+
+
+def substring_count(haystack: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count == Python str.count
+    (intelligence.py:304)."""
+    n = len(needle)
+    return (
+        (F.length(haystack) - F.length(F.replace(haystack, F.lit(needle), F.lit(""))))
+        / F.lit(n)
+    ).cast("int")
+
+
+def category_hits(text_lower: Column, category: str) -> Column:
+    """Total keyword hits for one category (intelligence.py:303-304).
+
+    Expressed as a fold over an array literal of keywords instead of a
+    flat sum of 15+ sub-expressions: the flat form exceeds Janino's
+    64 KB method limit once 9 categories are projected together,
+    knocking the whole stage out of codegen.  The fold keeps the
+    expression tree small; per-keyword arithmetic is identical
+    (sum order = keyword order, integer addition, so associativity
+    doesn't matter for parity with the DuckDB oracle).
+    """
+    kws = [kw.lower() for kw in CATEGORIES[category]]
+    return F.aggregate(
+        F.lit(kws),
+        F.lit(0),
+        lambda acc, kw: acc
+        + (
+            (F.length(text_lower) - F.length(F.replace(text_lower, kw)))
+            / F.length(kw)
+        ).cast("int"),
+    )
+
+
+def with_threat(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append threat-classification columns.
+
+    Adds ``risk_score`` (double, 2dp), ``risk_label`` (string),
+    ``categories`` (array<string>, score>1.0, score-desc order with
+    insertion-order tie-break) and ``keyword_hits``
+    (map<string,int>, zero-hit categories absent).
+    """
+    tl = F.lower(F.col(text_col))
+    wc = word_count(tl).cast("double")
+
+    hit_cols: dict[str, Column] = {}
+    score_cols: dict[str, Column] = {}
+    for cat in CATEGORY_ORDER:
+        hits = category_hits(tl, cat)
+        density = F.least(hits.cast("double") / (wc / F.lit(1000.0)), F.lit(1.0))
+        score = F.when(hits > 0, density * F.lit(CATEGORY_RISK[cat]) * F.lit(10.0)) \
+                 .otherwise(F.lit(0.0))
+        hit_cols[cat] = hits
+        score_cols[cat] = score
+
+    risk = F.least(F.greatest(*score_cols.values()) if len(score_cols) > 1
+                   else list(score_cols.values())[0], F.lit(10.0))
+    risk_score = F.round(risk, 2)
+
+    label = F.lit(DEFAULT_RISK_LABEL)
+    # build the when-chain top-down (intelligence.py:323-330)
+    chain = None
+    for threshold, name in RISK_THRESHOLDS:
+        cond = F.when(risk >= threshold, F.lit(name))
+        chain = cond if chain is None else chain.when(risk >= threshold, F.lit(name))
+    label = chain.otherwise(F.lit(DEFAULT_RISK_LABEL))
+
+    # ordered categories: sort struct(-score, insertion_idx) asc == score desc
+    cat_structs = F.array(*[
+        F.struct(
+            (-score_cols[cat]).alias("neg"),
+            F.lit(i).alias("idx"),
+            F.lit(cat).alias("name"),
+        )
+        for i, cat in enumerate(CATEGORY_ORDER)
+    ])
+    cats = F.transform(
+        F.array_sort(F.filter(cat_structs, lambda s: -s["neg"] > 1.0)),
+        lambda s: s["name"],
+    )
+
+    kw_map_entries = []
+    for cat in CATEGORY_ORDER:
+        kw_map_entries.extend([F.lit(cat), hit_cols[cat]])
+    kw_map = F.map_filter(F.create_map(*kw_map_entries), lambda k, v: v > 0)
+
+    return df.withColumns({
+        "risk_score": risk_score,
+        "risk_label": label,
+        "categories": cats,
+        "keyword_hits": kw_map,
+    })
+
+
+def with_intel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full analysis: IOCs + threat (intelligence.py:341-356)."""
+    return with_threat(with_iocs(df, text_col), text_col)
+
+
+def risk_label_expr(risk: Column) -> Column:
+    """Re-label from a (possibly aggregated) risk score — report.py:571-576."""
+    chain = None
+    for threshold, name in RISK_THRESHOLDS:
+        chain = (F.when(risk >= threshold, F.lit(name)) if chain is None
+                 else chain.when(risk >= threshold, F.lit(name)))
+    return chain.otherwise(F.lit(DEFAULT_RISK_LABEL))

@@ -1,0 +1,314 @@
+"""Deduplication operators for a training-data pipeline, with oracles.
+
+ - exact dedup: sha256 hash-groupBy (analog of the reference's global
+   content dedup, crawler.py:184-191, here over ``documents``);
+ - MinHash + LSH banding: shingle → K minhashes → B bands → bucket
+   self-join → candidate pairs;
+ - SimHash: 60-bit signature from token-hash bit votes;
+ - word-3-gram Jaccard near-dup pairs with frequent-shingle pruning.
+
+Cross-engine determinism trick: all hashing is md5-hex (identical in
+Spark and DuckDB).  MinHash takes the lexicographic MIN of hex digests
+(a valid uniform min-hash); SimHash parses the first 15 hex chars as a
+60-bit int (Spark ``conv``, DuckDB ``'0x…'::BIGINT``).
+
+Scale notes:
+ - exact dedup is one hash-shuffle on the 64-hex digest — at 100 TB,
+   AQE coalesces post-shuffle partitions; no skew (sha256 keys are
+   uniform);
+ - LSH self-join shuffles on (band_id, band_hash) — uniform keys,
+   broadcast never applies, sort-merge is right; candidate pairs are
+   `dropDuplicates` before any verify stage;
+ - the Jaccard shingle join prunes shingles appearing in > DF_CAP docs
+   (stop-shingles) — THE standard guard against quadratic blowup on
+   hot shingles (same physics as hot-host salting).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import load
+
+MINHASH_K = 16
+LSH_BANDS = 4           # 4 bands x 4 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 60       # 15 hex chars of md5 -> signed-safe 60-bit int
+JACCARD_THRESHOLD = 0.8
+DF_CAP = 50             # drop shingles present in more docs (stop-shingles)
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+# ---------------------------------------------------------------------------
+# shared fragments — Spark
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(_TOKEN_RE), F.lit(0))
+
+
+def shingles_col(toks: Column) -> Column:
+    """Word 3-gram shingles; [] when fewer than 3 tokens."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id", shingles_col(tokens_col(F.col("text"))).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+# shared fragments — DuckDB
+_TOKENS_SQL = f"regexp_extract_all(lower(text), '{_TOKEN_RE}')"
+
+_SHINGLES_SQL = f"""(
+  SELECT doc_id,
+    CASE WHEN length(toks) >= 3 THEN
+      list_transform(generate_series(1, length(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END AS shingles
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+)"""
+
+_SHINGLED_NONEMPTY_SQL = (
+    f"(SELECT * FROM {_SHINGLES_SQL} WHERE length(shingles) > 0)"
+)
+
+
+# ---------------------------------------------------------------------------
+# D1 analog — exact dedup via sha256 hash-groupBy
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS winner_doc,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    doc="exact content dedup: hash groups + canonical winner (crawler.py:184-191 analog)",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("winner_doc"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols(shingles: Column) -> list[Column]:
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        ).alias(f"mh_{j}")
+        for j in range(MINHASH_K)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    return ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min') AS mh_{j}"
+        for j in range(MINHASH_K)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id, {_minhash_sql_cols()} FROM {_SHINGLED_NONEMPTY_SQL}
+),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, md5("
+      + " || ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+      + ") AS band_hash FROM sig"
+      for b in range(LSH_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  AND a.doc_id < b.doc_id
+""",
+    doc="MinHash(16) + LSH(4x4) near-dup candidate pairs over documents",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _docs_shingled(spark, sf_dir).select(
+        "doc_id", *_minhash_cols(F.col("shingles"))
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"mh_{b * LSH_ROWS + r}")
+                             for r in range(LSH_ROWS)])).alias("band_hash"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (60-bit)
+# ---------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    doc="60-bit SimHash signature per doc (token-hash bit votes)",
+    bench=True,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("t"),
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = hashed.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).cast("long").alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    combine = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        combine = term if combine is None else combine + term
+    return votes.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM {_SHINGLED_NONEMPTY_SQL}
+),
+hot AS (
+  SELECT s FROM sh0 GROUP BY s HAVING count(*) > {DF_CAP}
+),
+sh AS (
+  SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= {JACCARD_THRESHOLD}
+""",
+    doc=f"word-3-gram Jaccard >= {JACCARD_THRESHOLD} near-dup pairs (stop-shingle pruned)",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh0 = _docs_shingled(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    hot = sh0.groupBy("s").count().filter(F.col("count") > DF_CAP).select("s")
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+    return jac

@@ -1,0 +1,316 @@
+"""Intelligence-layer queries (SURVEY.md §2: A2-A9, D5-D6, O1-O4, X8-X22)
+with DuckDB oracles.
+
+All run over the driver's ``documents`` table with the deterministic
+IOC enrichment (sparkharvester.enrich) applied identically on both
+engines.  Every aggregate/computed column is aliased identically in
+Spark and SQL (driver hash-compares by sorted column name).
+
+Scale notes: every query here is scan → map (codegen) → single
+partial-aggregated groupBy.  No joins; the only shuffles are the final
+aggregations, which are map-side combined by Spark automatically.  At
+100 TB the scans prune to (doc_id, text, source) columns only.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import intel, sqlgen
+from .constants import CATEGORY_ORDER
+from .enrich import enriched_text_spark, enriched_text_sql
+from .registry import register
+from .session import load
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source",
+        enriched_text_spark(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+
+
+_DOCS_SQL = (
+    f"(SELECT doc_id, source, {enriched_text_sql()} AS text FROM documents)"
+)
+
+_N_CATS = len(CATEGORY_ORDER)
+
+
+# ---------------------------------------------------------------------------
+# A4 — risk-distribution histogram (report.py:315-320)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a4_risk_histogram",
+    oracle=f"""
+WITH {sqlgen.sql_threat_cte(_DOCS_SQL)}
+SELECT risk_label, CAST(count(*) AS BIGINT) AS n
+FROM scored GROUP BY risk_label
+""",
+    doc="count pages per risk label — report.py:315-320",
+    bench=True,
+)
+def a4_risk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        intel.with_threat(_docs(spark, sf_dir))
+        .groupBy("risk_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — per-site rollup (report.py:562-580)
+# ---------------------------------------------------------------------------
+
+def _a7_cats_sql() -> str:
+    cases = ", ".join(
+        f"CASE WHEN max(CASE WHEN s{i} > 1.0 THEN 1 ELSE 0 END) = 1 "
+        f"THEN '{sqlgen.sq(cat)}' ELSE NULL END"
+        for i, cat in enumerate(CATEGORY_ORDER)
+    )
+    return sqlgen.sql_join_arr(
+        f"list_sort(list_filter([{cases}], x -> x IS NOT NULL))"
+    )
+
+
+@register(
+    "a7_site_rollup",
+    oracle=f"""
+WITH {sqlgen.sql_threat_cte(_DOCS_SQL, extra_cols="source")},
+  iocs AS (
+    SELECT doc_id, {sqlgen.sql_ioc_total('text')} AS ioc_total FROM {_DOCS_SQL}
+  )
+SELECT s.source AS site,
+       CAST(count(*) AS BIGINT) AS page_count,
+       CAST(sum(i.ioc_total) AS BIGINT) AS total_iocs,
+       max(s.risk_score) AS max_risk,
+       {sqlgen.sql_risk_label('max(s.risk_score)')} AS site_label,
+       {_a7_cats_sql()} AS categories
+FROM scored s JOIN iocs i ON s.doc_id = i.doc_id
+GROUP BY s.source
+""",
+    doc="per-site: pages, Σioc, max risk + re-label, category union — report.py:562-580",
+    bench=True,
+)
+def a7_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = intel.with_intel(_docs(spark, sf_dir))
+    return (
+        df.groupBy(F.col("source").alias("site"))
+        .agg(
+            F.count("*").alias("page_count"),
+            F.sum("ioc_total").cast("long").alias("total_iocs"),
+            F.max("risk_score").alias("max_risk"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("categories")))),
+                "|",
+            ).alias("categories"),
+        )
+        .withColumn("site_label", intel.risk_label_expr(F.col("max_risk")))
+        .select("site", "page_count", "total_iocs", "max_risk", "site_label",
+                "categories")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A5 — intel summary cards (cli.py:305-318, report.py:390-396)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a2_intel_summary",
+    oracle=f"""
+WITH {sqlgen.sql_threat_cte(_DOCS_SQL)},
+  iocs AS (
+    SELECT doc_id,
+           {sqlgen.sql_ioc_total('text')} AS ioc_total,
+           length({sqlgen.sql_ioc_array('text', 'cves')}) AS n_cves,
+           length({sqlgen.sql_ioc_array('text', 'btc_addresses')}) AS n_btc,
+           length({sqlgen.sql_ioc_array('text', 'emails')}) AS n_emails
+    FROM {_DOCS_SQL}
+  )
+SELECT CAST(sum(i.ioc_total) AS BIGINT) AS total_iocs,
+       CAST(sum(CASE WHEN s.risk_label IN ('High','Critical') THEN 1 ELSE 0 END) AS BIGINT) AS high_risk,
+       CAST(sum(i.n_cves) AS BIGINT) AS total_cves,
+       CAST(sum(i.n_btc) AS BIGINT) AS total_btc,
+       CAST(sum(i.n_emails) AS BIGINT) AS total_emails
+FROM scored s JOIN iocs i ON s.doc_id = i.doc_id
+""",
+    doc="global intel summary — cli.py:305-318",
+)
+def a2_intel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = intel.with_intel(_docs(spark, sf_dir))
+    return df.agg(
+        F.sum("ioc_total").cast("long").alias("total_iocs"),
+        F.sum(
+            F.when(F.col("risk_label").isin("High", "Critical"), 1).otherwise(0)
+        ).cast("long").alias("high_risk"),
+        F.sum(F.size("cves")).cast("long").alias("total_cves"),
+        F.sum(F.size("btc_addresses")).cast("long").alias("total_btc"),
+        F.sum(F.size("emails")).cast("long").alias("total_emails"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/O4 — top-3 categories (cli.py:309-319)
+# ---------------------------------------------------------------------------
+
+def _a3_union_sql() -> str:
+    parts = [
+        f"SELECT '{sqlgen.sq(cat)}' AS category, "
+        f"CAST(sum(CASE WHEN s{i} > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n "
+        f"FROM scored"
+        for i, cat in enumerate(CATEGORY_ORDER)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "a3_top_categories",
+    oracle=f"""
+WITH {sqlgen.sql_threat_cte(_DOCS_SQL)}
+SELECT category, n FROM ({_a3_union_sql()})
+WHERE n > 0 ORDER BY n DESC, category ASC LIMIT 3
+""",
+    doc="top-3 threat categories by page membership — cli.py:309-319",
+)
+def a3_top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        intel.with_threat(_docs(spark, sf_dir))
+        .select(F.explode("categories").alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("category"))
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct sites (report.py:314)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a6_distinct_sites",
+    oracle="SELECT DISTINCT source AS site FROM documents ORDER BY site",
+    doc="sorted distinct site list — report.py:314",
+)
+def a6_distinct_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.col("source").alias("site"))
+        .distinct()
+        .orderBy("site")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6/O7 — global distinct IOC list, capped (report.py:470-489)
+# ---------------------------------------------------------------------------
+
+@register(
+    "d6_global_iocs",
+    oracle=f"""
+SELECT email FROM (
+  SELECT DISTINCT unnest({sqlgen.sql_ioc_array('text', 'emails')}) AS email
+  FROM {_DOCS_SQL}
+) ORDER BY email LIMIT 100
+""",
+    doc="global distinct emails, sorted, ≤100 — report.py:470-489",
+)
+def d6_global_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        intel.with_iocs(_docs(spark, sf_dir))
+        .select(F.explode("emails").alias("email"))
+        .distinct()
+        .orderBy("email")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/F8 — high-risk top-k (report.py:322-326, cap report.py:529)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o1_high_risk_topk",
+    oracle=f"""
+WITH {sqlgen.sql_threat_cte(_DOCS_SQL)}
+SELECT doc_id, risk_score, risk_label FROM scored
+WHERE risk_label IN ('High','Critical')
+ORDER BY risk_score DESC, doc_id ASC LIMIT 50
+""",
+    doc="top-50 high-risk pages by score — report.py:322-326",
+)
+def o1_high_risk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        intel.with_threat(_docs(spark, sf_dir))
+        .filter(F.col("risk_label").isin("High", "Critical"))
+        .orderBy(F.desc("risk_score"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "risk_score", "risk_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8-X18 — full per-doc IOC extraction (intelligence.py:239-271)
+# ---------------------------------------------------------------------------
+
+def _ioc_extract_sql() -> str:
+    cols = ",\n       ".join(
+        f"{sqlgen.sql_join_arr(sqlgen.sql_ioc_array('text', t))} AS {t}"
+        for t in (
+            "ipv4", "emails", "md5", "cves", "onion_addresses", "domains", "urls"
+        )
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       {sqlgen.sql_pgp('text')} AS pgp_present,
+       {sqlgen.sql_ioc_total('text')} AS ioc_total
+FROM {_DOCS_SQL}
+"""
+
+
+@register(
+    "x_ioc_extract",
+    oracle=_ioc_extract_sql(),
+    doc="per-doc IOC arrays (joined) + pgp + total — intelligence.py:239-271",
+    bench=True,
+)
+def x_ioc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = intel.with_iocs(_docs(spark, sf_dir))
+    out = [F.col("doc_id")]
+    for t in ("ipv4", "emails", "md5", "cves", "onion_addresses", "domains", "urls"):
+        out.append(F.array_join(F.col(t), "|").alias(t))
+    out.append(F.col("pgp_present"))
+    out.append(F.col("ioc_total").cast("long").alias("ioc_total"))
+    return df.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# X20 — per-category keyword hits (intelligence.py:303-306)
+# ---------------------------------------------------------------------------
+
+def _hits_sql() -> str:
+    cols = ", ".join(
+        f"CAST(h{i} AS BIGINT) AS hits_{i}" for i in range(_N_CATS)
+    )
+    return f"""
+WITH hits AS ({sqlgen.sql_hits_cte(_DOCS_SQL)})
+SELECT doc_id, {cols} FROM hits
+"""
+
+
+@register(
+    "x20_keyword_hits",
+    oracle=_hits_sql(),
+    doc="per-doc keyword hit counts per category — intelligence.py:303-306",
+)
+def x20_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    tl = F.lower(F.col("text"))
+    cols = {
+        f"hits_{i}": intel.category_hits(tl, cat).cast("long")
+        for i, cat in enumerate(CATEGORY_ORDER)
+    }
+    return df.withColumns(cols).select("doc_id", *cols.keys())

@@ -1,0 +1,208 @@
+"""Text-analysis queries for a training-data pipeline (rebuild-only ops).
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex) and document fingerprinting over the
+``documents`` table, each with a DuckDB oracle.
+
+All are pure map stages (scan → codegen expressions → optional agg):
+zero shuffle except final aggregations, so they scale linearly to
+100 TB with column-pruned parquet scans.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import LANG_ORDER, LANG_STOPWORDS, QUALITY_STOPWORDS
+from .registry import register
+from .session import load
+from .sqlgen import sq
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}\-]"
+
+
+# ---------------------------------------------------------------------------
+# helpers (dual dialect)
+# ---------------------------------------------------------------------------
+
+
+def _padded_lower(text: F.Column) -> F.Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def _padded_lower_sql(text: str) -> str:
+    return f"' ' || lower({text}) || ' '"
+
+
+def _count_sub(hay: F.Column, needle: str) -> F.Column:
+    return (
+        (F.length(hay) - F.length(F.replace(hay, F.lit(needle)))) / F.lit(len(needle))
+    ).cast("int")
+
+
+def _count_sub_sql(hay: str, needle: str) -> str:
+    return (
+        f"CAST((length({hay}) - length(replace({hay}, '{sq(needle)}', ''))) "
+        f"/ {len(needle)} AS INT)"
+    )
+
+
+def _lang_score(tl: F.Column, lang: str) -> F.Column:
+    total = None
+    for w in LANG_STOPWORDS[lang]:
+        c = _count_sub(tl, w)
+        total = c if total is None else total + c
+    return total
+
+
+def _lang_score_sql(tl: str, lang: str) -> str:
+    return " + ".join(_count_sub_sql(tl, w) for w in LANG_STOPWORDS[lang])
+
+
+# ---------------------------------------------------------------------------
+# language ID — argmax of stopword hit counts, first-lang tie-break
+# ---------------------------------------------------------------------------
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        f"({_lang_score_sql(_padded_lower_sql('text'), lang)}) AS sc_{lang}"
+        for lang in LANG_ORDER
+    )
+    # argmax with LANG_ORDER tie-break; all-zero → 'und'
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN sc_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'und' {whens} END AS lang_pred
+FROM s
+"""
+
+
+@register(
+    "text_langid",
+    oracle=_langid_sql(),
+    doc="stopword-heuristic language ID over documents.text",
+    bench=True,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents")
+    tl = _padded_lower(F.col("text"))
+    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
+    df = df.withColumns(scores)
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / stopword-ratio heuristics
+# ---------------------------------------------------------------------------
+
+def _quality_sql() -> str:
+    tl = _padded_lower_sql("text")
+    stop_hits = " + ".join(
+        _count_sub_sql(tl, f" {w} ") for w in QUALITY_STOPWORDS
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(greatest(length(regexp_extract_all(text, '\\S+')), 1) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_extract_all(text, '{sq(PUNCT_CLASS)}')) AS BIGINT) AS n_punct,
+    CAST({stop_hits} AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+  round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len
+FROM q
+"""
+
+
+@register(
+    "text_quality",
+    oracle=_quality_sql(),
+    doc="per-doc quality metrics: length, punct ratio, stopword ratio",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents")
+    tl = _padded_lower(F.col("text"))
+    stop_hits = None
+    for w in QUALITY_STOPWORDS:
+        c = _count_sub(tl, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    df = df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))), F.lit(1)
+        ).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), F.lit(0)))
+        .cast("long").alias("n_punct"),
+        stop_hits.cast("long").alias("n_stop"),
+    )
+    return df.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round(
+            F.col("n_punct").cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("stop_ratio"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace + BPE-ish regex
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_tokens",
+    oracle=f"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+  CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+    doc="whitespace + BPE-ish token counts per doc",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long").alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — sha256 over whitespace-normalized lowercase text
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    doc="normalized sha256 content fingerprint per doc (X4 analog)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(norm, 256).alias("fingerprint")
+    )
