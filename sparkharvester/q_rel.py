@@ -1,1 +1,263 @@
+"""Relational / join / window queries over the TPC-H-ish tables and the
+``events`` stream table (SURVEY.md §2.5-2.10, §2.11 batch analogs).
 
+These exercise the join/aggregation physics the crawl engine relies on:
+broadcast joins for small dims (J4/J6), shuffle joins for fact tables
+(J1/J3), partial aggregation, window functions (O5/D1 tools), and
+event-time bucketing (the Structured-Streaming batch analog).
+
+Parity strategy: double SUMS are order-dependent in the last ulp, so a
+round-after-sum can flip at a boundary between engines.  All money
+aggregates therefore quantize per row to integer cents (bit-identical
+on both engines), sum exactly as BIGINT (order-independent), and
+convert back — so results are bit-exact regardless of partitioning.
+The same trick is what you'd use on a 1000-executor cluster to make
+results reproducible across AQE re-plans.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .session import load
+
+
+def cents_sum(expr: Column, scale: int = 100) -> Column:
+    """Exact money sum: per-row round to cents -> BIGINT sum -> back."""
+    return (
+        F.sum(F.round(expr * scale, 0).cast("long")) / F.lit(float(scale))
+    )
+
+
+def cents_sum_sql(expr: str, scale: int = 100) -> str:
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {float(scale)}"
+    )
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+def _rev_col():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (aggregation-heavy scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {cents_sum_sql('l_extendedprice')} AS sum_base_price,
+       {cents_sum_sql(_REV)} AS sum_disc_price,
+       {cents_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style pricing summary over lineitem",
+    bench=True,
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+    sum_qty = F.sum(F.col("l_quantity").cast("long"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            cents_sum(_rev_col()).alias("sum_disc_price"),
+            cents_sum(_rev_col() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(sum_qty / cnt, 4).alias("avg_qty"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 10000, 0).cast("long"))
+                / F.lit(10000.0) / cnt, 6
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority (3-way join + top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_segment_revenue",
+    oracle=f"""
+SELECT o.o_orderkey,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3-style: customer⋈orders⋈lineitem, revenue top-10",
+    bench=True,
+)
+def rel_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(cents_sum(_rev_col()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style: revenue per nation through region (4-way join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_nation_revenue",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5-style: lineitem⋈supplier⋈nation⋈region revenue rollup",
+    bench=True,
+)
+def rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+         .join(r, n.n_regionkey == r.r_regionkey)
+         .select("s_suppkey", "n_name")
+    )
+    return (
+        l.join(dim, l.l_suppkey == dim.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(cents_sum(_rev_col()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-join rollup: revenue by part brand (J4/J6 physics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_brand_revenue",
+    oracle=f"""
+SELECT p.p_brand AS brand,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    doc="broadcast dim join: revenue by part brand",
+)
+def rel_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            cents_sum(_rev_col()).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregation (Structured Streaming batch analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    oracle=f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {cents_sum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="tumbling 1h event-time window agg (streaming analog, SURVEY §2.11)",
+    bench=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            cents_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization via window functions (gap > 30 min)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM ordered GROUP BY user_id
+""",
+    doc="gap-based sessionization (30 min) via window functions",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
+        )
+    )

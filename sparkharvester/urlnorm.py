@@ -47,18 +47,32 @@ def canonicalize_one(url: str) -> str:
     return urlunparse((scheme, netloc, path, "", query, ""))
 
 
-@pandas_udf("string")
-def canonicalize_udf(urls: pd.Series) -> pd.Series:
+def _canonicalize_batch(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_one)
 
 
-@pandas_udf("string")
-def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    """RFC-3986 relative resolution + fragment strip (extractor.py:90)."""
+def _urljoin_batch(base: pd.Series, href: pd.Series) -> pd.Series:
     return pd.Series(
         [urljoin(b, h).split("#")[0] for b, h in zip(base, href)],
         index=base.index,
     )
+
+
+# pandas_udf registration needs an active session, so build lazily.
+_UDF_CACHE: dict[str, object] = {}
+
+
+def canonicalize_udf(col: Column) -> Column:
+    if "canon" not in _UDF_CACHE:
+        _UDF_CACHE["canon"] = pandas_udf(_canonicalize_batch, "string")
+    return _UDF_CACHE["canon"](col)
+
+
+def urljoin_udf(base: Column, href: Column) -> Column:
+    """RFC-3986 relative resolution + fragment strip (extractor.py:90)."""
+    if "urljoin" not in _UDF_CACHE:
+        _UDF_CACHE["urljoin"] = pandas_udf(_urljoin_batch, "string")
+    return _UDF_CACHE["urljoin"](base, href)
 
 
 # ---------------------------------------------------------------------------
