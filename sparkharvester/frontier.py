@@ -1,0 +1,460 @@
+"""Distributed BFS crawl engine: URL frontier + fetch scheduler (I1-I7).
+
+Spark-first re-expression of the reference's crawl loop
+(crawler.py:214-273, 275-321): each BFS depth level is ONE Spark job
+over DataFrames, with
+
+ - seed validation split (crawler.py:293-300);
+ - visited gate as a (bloom-prefiltered) LEFT ANTI JOIN against the
+   per-seed seen table (crawler.py:240-242 / D2);
+ - blacklist + robots predicates BEFORE the fetch stage — the plan is
+   authored filter→fetch because Catalyst will not reorder around an
+   opaque pandas UDF (SURVEY.md §4.1);
+ - a vectorized mapInPandas fetch stage (synthetic, deterministic) with
+   salted host-hash repartitioning so hot hosts spread across tasks
+   (north rule);
+ - link extraction as vectorized pandas/Arrow UDFs (urljoin + exact
+   urllib canonicalization), then explode → filters → distinct;
+ - global content dedup via a window over content_hash in canonical
+   (canon_url, seed_id) order (crawler.py:184-191, normalized per
+   SURVEY.md §7.4.1);
+ - per-seed page caps via a cumulative-success window reproducing the
+   reference's ``while pages < max_pages`` pop loop (crawler.py:237);
+ - per-host politeness: a virtual-time token bucket bounds admissions
+   per host per round (replaces the per-session crawl_delay sleep,
+   crawler.py:264, per the north rule) — virtual time keeps results
+   deterministic;
+ - per-round, per-partition lineage metrics (CrawlStats analog,
+   crawler.py:46-60) appended to a metrics table;
+ - one snapshot commit per round → exact resume (north rule).
+
+Scale design (10^10-URL frontier, 1000 executors):
+ - frontier/seen state lives in parquet snapshots, re-read each round —
+   this truncates logical-plan lineage (iterative DataFrame loops
+   otherwise grow the plan unboundedly) and doubles as the checkpoint;
+ - the only big shuffles per round are the seen anti-join (bloom-
+   prefiltered, keys uniform by construction) and the link distinct;
+   the dedup/cap windows partition by content_hash / seed_id;
+ - AQE handles residual skew; the salt column defuses hot hosts at the
+   fetch stage where ordering doesn't matter.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .constants import (
+    DEFAULT_BLACKLIST_PATHS,
+    DEFAULT_CRAWL_DELAY,
+    DEFAULT_MAX_DEPTH,
+    DEFAULT_MAX_PAGES,
+)
+from .oracle import is_valid_onion_py
+from .seen import anti_join_with_bloom, build_bloom
+from .storage import SnapshotStore
+from .synth import FETCH_SCHEMA, SynthConfig, make_fetch_stage
+from .urlnorm import (
+    base_domain,
+    canonicalize_one,
+    canonicalize_udf,
+    is_blacklisted,
+    is_junk_href,
+    is_valid_onion,
+    url_hash64,
+    urljoin_udf,
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = DEFAULT_MAX_DEPTH
+    max_pages: int = DEFAULT_MAX_PAGES
+    crawl_delay: float = DEFAULT_CRAWL_DELAY
+    blacklist: list[str] = dc_field(default_factory=lambda: list(DEFAULT_BLACKLIST_PATHS))
+    use_bloom: bool = False
+    bloom_fpp: float = 0.01
+    host_tokens_per_round: int | None = None   # None = politeness parity mode
+    robots: dict[str, list[str]] | None = None  # host -> disallow path prefixes
+    salt_buckets: int = 8
+    run_id: str = "run-1"
+    checkpoint_dir: str | None = None
+
+
+@dataclass
+class CrawlOutputs:
+    pages: DataFrame
+    metrics: DataFrame
+    seen_urls: DataFrame
+    store_root: str
+    rounds: int
+    stats: dict = dc_field(default_factory=dict)
+
+
+def _empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "seed_id int, canon_url string, depth int")
+
+
+def run_crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    synth_cfg: SynthConfig,
+    cfg: CrawlConfig | None = None,
+    known_urls: list[str] | None = None,
+    resume_from: str | None = None,
+) -> CrawlOutputs:
+    """Run the full BFS crawl; returns result/metrics/seen DataFrames.
+
+    ``resume_from``: a SnapshotStore root from a previous (possibly
+    interrupted) run — the crawl continues from the last committed
+    round with identical results (north-rule exact resume).
+    """
+    cfg = cfg or CrawlConfig()
+    root = resume_from or cfg.checkpoint_dir or tempfile.mkdtemp(prefix="crawl_snap_")
+    store = SnapshotStore(root)
+
+    manifest = store.load_manifest() if resume_from else None
+    if manifest is not None:
+        start_round = manifest["round"] + 1
+        counts = {int(k): v for k, v in manifest["counts"].items()}
+        pops = {int(k): v for k, v in manifest["pops"].items()}
+        n_seeds = manifest["n_seeds"]
+        frontier = store.read(spark, "frontier", manifest["round"])
+        seen = store.read(spark, "seen_urls", manifest["round"])
+        seen_hashes = store.read(spark, "seen_hashes", manifest["round"])
+        pages = store.read(spark, "pages", manifest["round"])
+        metrics = store.read(spark, "metrics", manifest["round"])
+    else:
+        start_round = 0
+        valid = [u for u in seeds if is_valid_onion_py(u)]   # crawler.py:293
+        n_seeds = len(valid)
+        counts = {i: 0 for i in range(n_seeds)}
+        pops = {i: 0 for i in range(n_seeds)}
+        known = [canonicalize_one(u) for u in (known_urls or [])]
+        frontier = spark.createDataFrame(
+            [(i, canonicalize_one(u), 0) for i, u in enumerate(valid)],
+            "seed_id int, canon_url string, depth int",
+        )
+        seen = spark.createDataFrame(
+            [(i, u) for i in range(n_seeds) for u in known],
+            "seed_id int, canon_url string",
+        )
+        seen_hashes = spark.createDataFrame([], "content_hash string")
+        pages = spark.createDataFrame(
+            [], "seed_id int, url string, title string, text string, "
+                "content_hash string, depth int, crawl_time double, "
+                "links_found int, site string, crawled_at double",
+        )
+        metrics = spark.createDataFrame(
+            [], "run_id string, round int, partition_id int, "
+                "pages_crawled long, pages_failed long, pages_skipped long, "
+                "pages_deduplicated long",
+        )
+
+    fetch_stage = make_fetch_stage(synth_cfg)
+    robots = cfg.robots or {}
+
+    # In parity mode (host_tokens_per_round=None) one round == one BFS depth.
+    # In politeness mode, token-deferred rows re-enter the frontier at the
+    # same depth, so a depth can span several rounds.
+    max_rounds = (cfg.max_depth + 1) * (50 if cfg.host_tokens_per_round else 1)
+    round_no = start_round
+    while round_no < max_rounds:
+        # ---- candidate selection -----------------------------------------
+        active = [s for s in range(n_seeds) if counts[s] < cfg.max_pages]
+        live = frontier.filter(F.col("seed_id").isin(active))
+        head = live.agg(F.min("depth").alias("d")).collect()[0]["d"]
+        if head is None:
+            break
+        depth = int(head)
+        cand = live.filter(F.col("depth") == depth) \
+                   .dropDuplicates(["seed_id", "canon_url"])
+
+        # visited gate: bloom prefilter (optional) + exact anti-join (D2/F6)
+        bloom = None
+        if cfg.use_bloom:
+            seen_keyed = seen.withColumn(
+                "probe_key", F.concat(F.col("seed_id").cast("string"),
+                                      F.lit("|"), F.col("canon_url"))
+            )
+            n_seen = seen.count()
+            if n_seen > 0:
+                bloom = build_bloom(seen_keyed, "probe_key",
+                                    expected_items=max(n_seen, 1024),
+                                    fpp=cfg.bloom_fpp)
+            cand = cand.withColumn(
+                "probe_key", F.concat(F.col("seed_id").cast("string"),
+                                      F.lit("|"), F.col("canon_url"))
+            )
+            cand = anti_join_with_bloom(
+                cand, seen_keyed.select("seed_id", "canon_url"),
+                ["seed_id", "canon_url"], bloom, "probe_key",
+            ).drop("probe_key")
+        else:
+            cand = cand.join(seen, ["seed_id", "canon_url"], "left_anti")
+
+        # ---- politeness: per-host token bucket (virtual time) -------------
+        cand = cand.withColumn(
+            "host", F.regexp_extract("canon_url", r"^https?://([^/]+)", 1)
+        )
+        deferred = None
+        if cfg.host_tokens_per_round is not None:
+            w_host = Window.partitionBy("host").orderBy("canon_url", "seed_id")
+            flagged = cand.withColumn("__tok", F.row_number().over(w_host))
+            deferred = (
+                flagged.filter(F.col("__tok") > cfg.host_tokens_per_round)
+                .select("seed_id", "canon_url", "depth")
+            )
+            cand = flagged.filter(
+                F.col("__tok") <= cfg.host_tokens_per_round
+            ).drop("__tok")
+            # deferred rows re-enter the frontier at the same depth below —
+            # ≥ crawl_delay spacing between same-host fetches is modelled as
+            # at most `tokens` admissions per host per virtual round (I4).
+
+        # robots gate (north rule; superset of the blacklist predicate F2)
+        if robots:
+            robots_df = F.broadcast(spark.createDataFrame(
+                [(h, p) for h, ps in robots.items() for p in ps],
+                "host string, dis_prefix string",
+            ))
+            path_col = F.regexp_extract("canon_url", r"^https?://[^/]+(/.*)?$", 1)
+            hit = (
+                cand.withColumn("__path", path_col)
+                .join(robots_df, "host", "left")
+                .withColumn(
+                    "__robots_block",
+                    F.col("dis_prefix").isNotNull()
+                    & F.col("__path").startswith(F.col("dis_prefix")),
+                )
+                .groupBy("seed_id", "canon_url", "depth", "host")
+                .agg(F.max("__robots_block").alias("robots_blocked"))
+            )
+            cand = hit
+        else:
+            cand = cand.withColumn("robots_blocked", F.lit(False))
+
+        # ---- fetch stage (salted repartition defuses hot hosts) -----------
+        cand = cand.withColumn(
+            "salt", F.pmod(url_hash64(F.col("canon_url")), cfg.salt_buckets)
+        ).repartition(F.col("host"), F.col("salt"))
+
+        blacklisted = is_blacklisted(F.col("canon_url"), cfg.blacklist) \
+            | F.col("robots_blocked")
+        gated = cand.withColumn("blacklisted", blacklisted)
+
+        # fetch ONLY non-blacklisted rows (crawler.py:167-171: blacklist
+        # checked before paying for the fetch) — blacklisted rows rejoin
+        # the pipeline as popped-but-skipped.
+        to_fetch = gated.filter(~F.col("blacklisted")) \
+                        .select("canon_url", "seed_id", "depth")
+        fetched = to_fetch.mapInPandas(fetch_stage, FETCH_SCHEMA)
+        fetched = fetched.join(
+            gated.select("seed_id", "canon_url", "blacklisted"),
+            ["seed_id", "canon_url"],
+        )
+        skipped_rows = gated.filter(F.col("blacklisted")).select(
+            "canon_url", "seed_id", "depth",
+            F.lit(False).alias("ok"), F.lit(0).alias("attempts"),
+            F.lit("").alias("title"), F.lit("").alias("text"),
+            F.array().cast("array<string>").alias("hrefs"),
+            F.lit(0.0).alias("latency"), F.lit(-1).alias("fetch_partition"),
+            F.lit(True).alias("blacklisted"),
+        )
+        fetched = fetched.unionByName(skipped_rows)
+
+        fetched = fetched.withColumn(
+            "content_hash",
+            F.when(F.col("ok"), F.sha2(F.col("text"), 256)),
+        )
+
+        # ---- link extraction (X5-X7 via vectorized UDFs) -------------------
+        link_src = fetched.filter(F.col("ok") & ~F.col("blacklisted"))
+        exploded = (
+            link_src.select("seed_id", "canon_url", F.explode("hrefs").alias("href"))
+            .withColumn("href", F.trim("href"))
+            .filter(~is_junk_href(F.col("href")))                        # F3
+            .withColumn("resolved", urljoin_udf(F.col("canon_url"), F.col("href")))
+            .filter(is_valid_onion(F.col("resolved")))                   # F1
+            .withColumn("link", canonicalize_udf(F.col("resolved")))     # X1
+            .select("seed_id", F.col("canon_url").alias("parent"), "link")
+            .distinct()
+        )
+        link_counts = exploded.groupBy("seed_id", F.col("parent").alias("canon_url")) \
+                              .agg(F.count("*").alias("links_found"))
+        fetched = fetched.join(link_counts, ["seed_id", "canon_url"], "left") \
+                         .withColumn("links_found",
+                                     F.coalesce("links_found", F.lit(0)))
+
+        # ---- global content dedup (D1, canonical order) --------------------
+        eligible = F.col("ok") & ~F.col("blacklisted")
+        w_hash = Window.partitionBy("content_hash").orderBy("canon_url", "seed_id")
+        fetched = (
+            fetched
+            .withColumn("__rn", F.when(eligible, F.row_number().over(w_hash)))
+            .join(seen_hashes.withColumnRenamed("content_hash", "__prev_hash"),
+                  F.col("content_hash") == F.col("__prev_hash"), "left")
+            .withColumn(
+                "is_dup",
+                eligible & (F.col("__prev_hash").isNotNull() | (F.col("__rn") > 1)),
+            )
+            .drop("__rn", "__prev_hash")
+        )
+
+        # ---- per-seed pop prefix (O5: while pages < max_pages) -------------
+        cap_df = F.broadcast(spark.createDataFrame(
+            [(s, cfg.max_pages - counts[s], pops[s]) for s in range(n_seeds)],
+            "seed_id int, cap_left int, pop_offset int",
+        ))
+        success = eligible & ~F.col("is_dup")
+        w_seed = Window.partitionBy("seed_id").orderBy("canon_url")
+        fetched = (
+            fetched.join(cap_df, "seed_id")
+            .withColumn("__succ", success.cast("int"))
+            .withColumn(
+                "__cum_before",
+                F.coalesce(
+                    F.sum("__succ").over(
+                        w_seed.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .withColumn("popped", F.col("__cum_before") < F.col("cap_left"))
+            .withColumn("pop_idx", F.row_number().over(w_seed))
+        )
+        fetched = fetched.cache()
+
+        # ---- results of this round -----------------------------------------
+        results_r = (
+            fetched.filter(F.col("popped") & success)
+            .withColumn("site", base_domain(F.col("canon_url")))
+            .withColumn(
+                "crawl_time",
+                F.col("latency")
+                + (F.col("attempts") - 1).cast("double") * F.lit(4.0),
+            )
+            .withColumn(
+                "crawled_at",
+                (F.col("pop_offset") + F.col("pop_idx")).cast("double")
+                * F.lit(cfg.crawl_delay),
+            )
+            .select(
+                "seed_id", F.col("canon_url").alias("url"), "title", "text",
+                "content_hash", "depth", "crawl_time", "links_found", "site",
+                "crawled_at",
+            )
+        )
+
+        # ---- state updates ---------------------------------------------------
+        popped_rows = fetched.filter(F.col("popped"))
+        seen_delta = popped_rows.select("seed_id", "canon_url")
+        new_seen = seen.unionByName(seen_delta).dropDuplicates(
+            ["seed_id", "canon_url"]
+        )
+        new_hashes = seen_hashes.unionByName(
+            results_r.select("content_hash")
+        ).dropDuplicates(["content_hash"])
+
+        # frontier_{d+1}: links from popped fetched rows (crawler.py:258-262)
+        if depth < cfg.max_depth:
+            popped_parents = popped_rows.filter(eligible) \
+                .select("seed_id", F.col("canon_url").alias("parent"))
+            next_frontier = (
+                exploded.join(popped_parents, ["seed_id", "parent"])
+                .select("seed_id", F.col("link").alias("canon_url"))
+                .distinct()
+                .join(new_seen, ["seed_id", "canon_url"], "left_anti")
+                .withColumn("depth", F.lit(depth + 1))
+            )
+        else:
+            next_frontier = _empty_frontier(spark)
+        leftover = frontier.filter(F.col("depth") > depth)
+        new_frontier = leftover.unionByName(
+            next_frontier.select("seed_id", "canon_url", "depth")
+        )
+        if deferred is not None:
+            new_frontier = new_frontier.unionByName(deferred)
+
+        # ---- per-partition lineage metrics (CrawlStats analog) ---------------
+        metrics_r = (
+            popped_rows.groupBy("fetch_partition")
+            .agg(
+                F.sum(success.cast("long")).alias("pages_crawled"),
+                F.sum((~F.col("ok") & ~F.col("blacklisted")).cast("long"))
+                 .alias("pages_failed"),
+                F.sum(F.col("blacklisted").cast("long")).alias("pages_skipped"),
+                F.sum(F.col("is_dup").cast("long")).alias("pages_deduplicated"),
+            )
+            .select(
+                F.lit(cfg.run_id).alias("run_id"),
+                F.lit(depth).alias("round"),
+                F.col("fetch_partition").alias("partition_id"),
+                "pages_crawled", "pages_failed", "pages_skipped",
+                "pages_deduplicated",
+            )
+        )
+
+        # driver-side counters (tiny: one row per seed)
+        per_seed = {
+            r["seed_id"]: (r["succ"], r["pops"])
+            for r in popped_rows.groupBy("seed_id").agg(
+                F.sum(success.cast("int")).alias("succ"),
+                F.count("*").alias("pops"),
+            ).collect()
+        }
+        for s, (succ, np_) in per_seed.items():
+            counts[s] += int(succ or 0)
+            pops[s] += int(np_)
+
+        # ---- snapshot commit (lineage truncation + exact resume) -------------
+        pages = pages.unionByName(results_r)
+        metrics = metrics.unionByName(metrics_r)
+        store.write(new_frontier, "frontier", round_no)
+        store.write(new_seen, "seen_urls", round_no)
+        store.write(new_hashes, "seen_hashes", round_no)
+        store.write(pages, "pages", round_no)
+        store.write(metrics, "metrics", round_no)
+        fetched.unpersist()
+        frontier = store.read(spark, "frontier", round_no)
+        seen = store.read(spark, "seen_urls", round_no)
+        seen_hashes = store.read(spark, "seen_hashes", round_no)
+        pages = store.read(spark, "pages", round_no)
+        metrics = store.read(spark, "metrics", round_no)
+        store.commit({
+            "round": round_no,
+            "depth": depth,
+            "run_id": cfg.run_id,
+            "n_seeds": n_seeds,
+            "counts": {str(k): v for k, v in counts.items()},
+            "pops": {str(k): v for k, v in pops.items()},
+            "synth_seed": synth_cfg.seed,
+        })
+        round_no += 1
+
+    # canonical global sequence (SURVEY §3.1): (depth, canon_url, seed_id)
+    w_seq = Window.orderBy("depth", "url", "seed_id")
+    pages_final = pages.withColumn("seq", F.row_number().over(w_seq))
+    stats = {
+        "sites_crawled": n_seeds,
+        **{
+            k: v
+            for k, v in (
+                metrics.agg(
+                    F.sum("pages_crawled").alias("pages_crawled"),
+                    F.sum("pages_failed").alias("pages_failed"),
+                    F.sum("pages_skipped").alias("pages_skipped"),
+                    F.sum("pages_deduplicated").alias("pages_deduplicated"),
+                ).collect()[0].asDict()
+            ).items()
+        },
+    }
+    stats = {k: int(v or 0) for k, v in stats.items()}
+    return CrawlOutputs(
+        pages=pages_final, metrics=metrics, seen_urls=seen,
+        store_root=root, rounds=round_no, stats=stats,
+    )

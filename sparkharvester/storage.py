@@ -1,0 +1,127 @@
+"""Iceberg-style snapshot store + multi-format sinks (S6-S10).
+
+The sandbox has no Iceberg/Delta jars (SURVEY.md §7.0), so snapshots
+are immutable parquet directories + a JSON manifest with an atomically
+renamed ``current`` pointer — the same commit protocol shape
+(write-new, swap-pointer) as Iceberg's metadata swap, behind a small
+adapter so a real cluster can substitute catalog tables without
+touching the engine.  Each crawl round commits one snapshot listing
+the four state tables (frontier, seen_urls, seen_hashes, pages) plus
+round metadata — giving exact-resume (north rule; reference analog:
+SQLite known_urls, storage.py:94-105).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    """Versioned parquet tables with an atomic ``current`` manifest."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- table io ----------------------------------------------------------
+
+    def _path(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, f"v{version:06d}")
+
+    def write(self, df: DataFrame, table: str, version: int) -> str:
+        path = self._path(table, version)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, spark: SparkSession, table: str, version: int) -> DataFrame:
+        return spark.read.parquet(self._path(table, version))
+
+    # -- manifest commit protocol -------------------------------------------
+
+    def commit(self, meta: dict[str, Any]) -> None:
+        """Atomic snapshot commit: write manifest, rename over pointer."""
+        meta = dict(meta)
+        meta["committed_at"] = time.time()
+        tmp = os.path.join(self.root, f".manifest.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.root, "current"))  # atomic swap
+        # keep the historical manifest for time travel
+        hist = os.path.join(self.root, f"manifest-r{meta.get('round', 0):06d}.json")
+        with open(hist, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+
+    def load_manifest(self) -> dict[str, Any] | None:
+        p = os.path.join(self.root, "current")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format sinks (storage.py:158-261 analogs)
+# ---------------------------------------------------------------------------
+
+
+def save_json(df: DataFrame, path: str) -> str:
+    """JSON sink with the reference's field names (storage.py:175-187)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.select(
+            "url", "site", "title", "depth",
+            F.round("crawl_time", 3).alias("crawl_time_s"),
+            "links_found", "content_hash", "text",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return path
+
+
+def save_csv(df: DataFrame, path: str) -> str:
+    """CSV sink with newline-scrubbed text (storage.py:218-228)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.select(
+            F.col("url").alias("URL"),
+            F.col("site").alias("Site"),
+            F.col("title").alias("Title"),
+            F.col("depth").alias("Depth"),
+            F.round("crawl_time", 3).alias("CrawlTime(s)"),
+            F.col("links_found").alias("LinksFound"),
+            F.col("content_hash").alias("ContentHash"),
+            F.regexp_replace("text", "[\\n\\r]", " ").alias("Text"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    return path
+
+
+def save_all(df: DataFrame, out_dir: str,
+             formats: tuple[str, ...] = ("parquet", "json", "csv")) -> dict[str, str]:
+    """Fan-out sink (storage.py:236-261): one cached DF, every format."""
+    df = df.cache()
+    paths: dict[str, str] = {}
+    try:
+        if "parquet" in formats:
+            p = os.path.join(out_dir, "crawl_results.parquet")
+            df.write.mode("overwrite").parquet(p)
+            paths["parquet"] = p
+        if "json" in formats:
+            paths["json"] = save_json(df, os.path.join(out_dir, "crawl_results.json"))
+        if "csv" in formats:
+            paths["csv"] = save_csv(df, os.path.join(out_dir, "crawl_results.csv"))
+    finally:
+        df.unpersist()
+    return paths
