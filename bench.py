@@ -1,0 +1,122 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+BASELINE.json headline metric: frontier-processing throughput
+(URLs/sec) over a large synthetic URL frontier (canonicalize →
+xxhash64 → bloomless anti-join vs seen → per-host politeness window),
+all in whole-stage-codegen expressions — no Python on the hot path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier_urls_per_sec": N, "frontier_urls": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkharvester.registry import all_queries  # noqa: E402
+from sparkharvester.session import get_spark  # noqa: E402
+from sparkharvester.urlnorm import canonicalize_expr, url_hash64  # noqa: E402
+
+
+def synth_frontier(spark: SparkSession, n: int, n_hosts: int = 10_000):
+    """N messy URLs, generated JVM-side (spark.range + expressions) —
+    lazy at any scale, never materialized on the driver."""
+    return spark.range(n).select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.rpad(F.translate((F.col("id") % n_hosts).cast("string"),
+                               "0123456789", "abcdefghij"), 56, "q"),
+            F.lit(".onion/Page/"),
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 3 == 0, F.lit("?b=2&a=1&empty=")).otherwise(F.lit("")),
+            F.when(F.col("id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+        (F.col("id") % n_hosts).alias("host_id"),
+    )
+
+
+def bench_frontier(spark: SparkSession, n: int = 2_000_000,
+                   tokens_per_host: int = 200) -> dict:
+    """One frontier round, measured: canonicalize + hash + seen
+    anti-join + per-host politeness admission.  The whole pipeline is
+    codegen expressions + two shuffles (join, window)."""
+    frontier = synth_frontier(spark, n).withColumn(
+        "canon_url", canonicalize_expr(F.col("url"))
+    ).withColumn("url_hash", url_hash64(F.col("canon_url")))
+    # seen set: half the frontier (every even id), pre-written to parquet
+    # so the bench measures the round, not seen-set synthesis
+    seen = synth_frontier(spark, n // 2).select(
+        url_hash64(canonicalize_expr(F.col("url"))).alias("url_hash")
+    )
+    tmp = f"/tmp/bench_seen_{os.getpid()}"
+    seen.write.mode("overwrite").parquet(tmp)
+    seen = spark.read.parquet(tmp)
+
+    t0 = time.monotonic()
+    survivors = (
+        frontier.join(seen, "url_hash", "left_anti")
+        .withColumn(
+            "admitted",
+            F.row_number().over(
+                Window.partitionBy("host_id").orderBy("canon_url")
+            ) <= tokens_per_host,
+        )
+        .filter(F.col("admitted"))
+    )
+    n_out = survivors.count()
+    elapsed = time.monotonic() - t0
+    return {
+        "frontier_urls": n,
+        "frontier_survivors": n_out,
+        "frontier_sec": round(elapsed, 3),
+        "frontier_urls_per_sec": round(n / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    frontier_n = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = {n: q for n, q in all_queries().items() if q.bench}
+    times: dict[str, float] = {}
+    for name, q in sorted(qs.items()):
+        t0 = time.monotonic()
+        df = q.build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    fr = bench_frontier(spark, n=frontier_n)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline query time at sf + frontier-processing throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        **fr,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

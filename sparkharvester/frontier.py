@@ -83,6 +83,7 @@ class CrawlConfig:
     salt_buckets: int = 8
     run_id: str = "run-1"
     checkpoint_dir: str | None = None
+    stop_after_round: int | None = None   # I6 analog: simulate interruption
 
 
 @dataclass
@@ -435,6 +436,8 @@ def run_crawl(
             "synth_seed": synth_cfg.seed,
         })
         round_no += 1
+        if cfg.stop_after_round is not None and round_no > cfg.stop_after_round:
+            break   # interruption: partial state is committed (cli.py:292-295)
 
     # canonical global sequence (SURVEY §3.1): (depth, canon_url, seed_id)
     w_seq = Window.orderBy("depth", "url", "seed_id")

@@ -85,9 +85,21 @@ def ioc_columns(text: Column) -> dict[str, Column]:
 
 
 def with_iocs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append IOC columns to *df* (replaces intelligence.py:239-271)."""
-    cols = ioc_columns(F.col(text_col))
-    return df.withColumns(cols)
+    """Append IOC columns to *df* (replaces intelligence.py:239-271).
+
+    Staged projection: the 11 regex-extract arrays are materialized as
+    named columns FIRST, and ``ioc_total`` references those columns —
+    CollapseProject won't inline expensive producers referenced more
+    than once, so each regex runs once per row, not once per use.
+    """
+    arrays = {t: ioc_column(F.col(text_col), t) for t in IOC_LIST_FIELDS}
+    arrays["pgp_present"] = F.col(text_col).contains(PGP_MARKER)
+    staged = df.withColumns(arrays)
+    total = None
+    for t in IOC_LIST_FIELDS:
+        s = F.size(F.col(t))
+        total = s if total is None else total + s
+    return staged.withColumn("ioc_total", total)
 
 
 # ---------------------------------------------------------------------------
@@ -145,35 +157,42 @@ def with_threat(df: DataFrame, text_col: str = "text") -> DataFrame:
     insertion-order tie-break) and ``keyword_hits``
     (map<string,int>, zero-hit categories absent).
     """
-    tl = F.lower(F.col(text_col))
-    wc = word_count(tl).cast("double")
+    # Stage 1: expensive per-category keyword folds, evaluated ONCE each.
+    # Named-column staging keeps CollapseProject from inlining the folds
+    # into every downstream reference (they are referenced ~5x below).
+    tl_stage = df.withColumn("__tl", F.lower(F.col(text_col)))
+    hits_stage = tl_stage.withColumns({
+        **{f"__h{i}": category_hits(F.col("__tl"), cat)
+           for i, cat in enumerate(CATEGORY_ORDER)},
+        "__wc": word_count(F.col("__tl")).cast("double"),
+    })
 
-    hit_cols: dict[str, Column] = {}
-    score_cols: dict[str, Column] = {}
-    for cat in CATEGORY_ORDER:
-        hits = category_hits(tl, cat)
-        density = F.least(hits.cast("double") / (wc / F.lit(1000.0)), F.lit(1.0))
-        score = F.when(hits > 0, density * F.lit(CATEGORY_RISK[cat]) * F.lit(10.0)) \
-                 .otherwise(F.lit(0.0))
-        hit_cols[cat] = hits
-        score_cols[cat] = score
+    # Stage 2: cheap arithmetic on the hit columns.
+    wc = F.col("__wc")
+    score_stage = hits_stage.withColumns({
+        f"__s{i}": F.when(
+            F.col(f"__h{i}") > 0,
+            F.least(F.col(f"__h{i}").cast("double") / (wc / F.lit(1000.0)),
+                    F.lit(1.0)) * F.lit(CATEGORY_RISK[cat]) * F.lit(10.0),
+        ).otherwise(F.lit(0.0))
+        for i, cat in enumerate(CATEGORY_ORDER)
+    })
 
-    risk = F.least(F.greatest(*score_cols.values()) if len(score_cols) > 1
-                   else list(score_cols.values())[0], F.lit(10.0))
+    score_cols = [F.col(f"__s{i}") for i in range(len(CATEGORY_ORDER))]
+    risk = F.least(F.greatest(*score_cols), F.lit(10.0))
     risk_score = F.round(risk, 2)
 
-    label = F.lit(DEFAULT_RISK_LABEL)
-    # build the when-chain top-down (intelligence.py:323-330)
+    # when-chain top-down (intelligence.py:323-330)
     chain = None
     for threshold, name in RISK_THRESHOLDS:
-        cond = F.when(risk >= threshold, F.lit(name))
-        chain = cond if chain is None else chain.when(risk >= threshold, F.lit(name))
+        chain = (F.when(risk >= threshold, F.lit(name)) if chain is None
+                 else chain.when(risk >= threshold, F.lit(name)))
     label = chain.otherwise(F.lit(DEFAULT_RISK_LABEL))
 
     # ordered categories: sort struct(-score, insertion_idx) asc == score desc
     cat_structs = F.array(*[
         F.struct(
-            (-score_cols[cat]).alias("neg"),
+            (-F.col(f"__s{i}")).alias("neg"),
             F.lit(i).alias("idx"),
             F.lit(cat).alias("name"),
         )
@@ -185,16 +204,19 @@ def with_threat(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     kw_map_entries = []
-    for cat in CATEGORY_ORDER:
-        kw_map_entries.extend([F.lit(cat), hit_cols[cat]])
+    for i, cat in enumerate(CATEGORY_ORDER):
+        kw_map_entries.extend([F.lit(cat), F.col(f"__h{i}")])
     kw_map = F.map_filter(F.create_map(*kw_map_entries), lambda k, v: v > 0)
 
-    return df.withColumns({
+    out = score_stage.withColumns({
         "risk_score": risk_score,
         "risk_label": label,
         "categories": cats,
         "keyword_hits": kw_map,
     })
+    drop = ["__tl", "__wc"] + [f"__h{i}" for i in range(len(CATEGORY_ORDER))] \
+        + [f"__s{i}" for i in range(len(CATEGORY_ORDER))]
+    return out.drop(*drop)
 
 
 def with_intel(df: DataFrame, text_col: str = "text") -> DataFrame:

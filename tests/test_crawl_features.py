@@ -1,0 +1,118 @@
+"""North-rule feature tests: bloom seen-filter exactness, checkpoint
+resume, per-host politeness token bucket, robots gating."""
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sparkharvester.frontier import CrawlConfig, run_crawl
+from sparkharvester.oracle import crawl_oracle
+from sparkharvester.synth import SynthConfig, host_name, seed_urls
+
+
+def _pages_set(eng):
+    return {(r["seed_id"], r["url"], r["depth"]) for r in eng.pages.collect()}
+
+
+def test_bloom_prefilter_is_exact(spark):
+    """Bloom is a definitely-unseen fast path only: results with the
+    bloom enabled are IDENTICAL to the exact anti-join (SURVEY §7.4.3)."""
+    synth = SynthConfig(n_hosts=3, pages_per_host=15)
+    seeds = seed_urls(synth)
+    base = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=15))
+    bloomed = run_crawl(
+        spark, seeds, synth,
+        CrawlConfig(max_depth=2, max_pages=15, use_bloom=True, bloom_fpp=0.2),
+    )
+    assert _pages_set(base) == _pages_set(bloomed)
+    assert base.stats == bloomed.stats
+
+
+def test_checkpoint_resume_exact(spark):
+    """Exact resume (north rule): interrupt after round 0, resume from
+    the snapshot, final state equals the uninterrupted run — and the
+    oracle."""
+    synth = SynthConfig(n_hosts=3, pages_per_host=12)
+    seeds = seed_urls(synth)
+    cfg_full = CrawlConfig(max_depth=2, max_pages=20)
+    full = run_crawl(spark, seeds, synth, cfg_full)
+
+    root = tempfile.mkdtemp(prefix="crawl_resume_")
+    cfg_part = CrawlConfig(max_depth=2, max_pages=20, checkpoint_dir=root,
+                           stop_after_round=0)
+    part = run_crawl(spark, seeds, synth, cfg_part)
+    assert part.rounds == 1
+
+    resumed = run_crawl(spark, seeds, synth,
+                        CrawlConfig(max_depth=2, max_pages=20),
+                        resume_from=root)
+    assert _pages_set(resumed) == _pages_set(full)
+    assert resumed.stats == full.stats
+
+    oracle = crawl_oracle(seeds, synth, max_depth=2, max_pages=20)
+    assert {(r["seed_id"], r["url"], r["depth"]) for r in oracle.results} \
+        == _pages_set(full)
+
+
+def test_politeness_token_bucket(spark):
+    """Per-host token bucket (I4/north rule): at most N admissions per
+    host per round.  Deferral spreads a depth over several virtual-time
+    rounds; the URL-seen set, the distinct-content set and all counters
+    are invariant (only WHICH member of a duplicate-content group wins
+    can shift, since winners are chosen per round)."""
+    synth = SynthConfig(n_hosts=3, pages_per_host=12)
+    seeds = seed_urls(synth)
+    parity = run_crawl(spark, seeds, synth,
+                       CrawlConfig(max_depth=2, max_pages=1000))
+    polite = run_crawl(
+        spark, seeds, synth,
+        CrawlConfig(max_depth=2, max_pages=1000, host_tokens_per_round=3),
+    )
+    assert polite.rounds > parity.rounds        # deferral happened
+    seen_a = {(r["seed_id"], r["canon_url"]) for r in parity.seen_urls.collect()}
+    seen_b = {(r["seed_id"], r["canon_url"]) for r in polite.seen_urls.collect()}
+    assert seen_a == seen_b
+    hashes_a = {(r["seed_id"], r["content_hash"]) for r in parity.pages.collect()}
+    hashes_b = {(r["seed_id"], r["content_hash"]) for r in polite.pages.collect()}
+    assert hashes_a == hashes_b
+    assert parity.stats == polite.stats
+
+
+def test_robots_gating(spark):
+    """robots.txt cache table (north rule): disallowed path prefixes are
+    never fetched and count as skipped, like the blacklist (F2)."""
+    synth = SynthConfig(n_hosts=2, pages_per_host=10)
+    seeds = seed_urls(synth)
+    h0 = host_name(0, synth.seed) + ".onion"
+    robots = {h0: ["/p1"]}   # blocks /p1, /p1x...
+    plain = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=50))
+    gated = run_crawl(
+        spark, seeds, synth,
+        CrawlConfig(max_depth=2, max_pages=50, robots=robots),
+    )
+    blocked_prefix = f"http://{h0}/p1"
+    plain_urls = {r["url"] for r in plain.pages.collect()}
+    gated_urls = {r["url"] for r in gated.pages.collect()}
+    assert any(u.startswith(blocked_prefix) for u in plain_urls)
+    assert not any(u.startswith(blocked_prefix) for u in gated_urls)
+    assert gated.stats["pages_skipped"] > plain.stats["pages_skipped"]
+
+
+def test_metrics_lineage(spark):
+    """Per-partition lineage metrics (north rule): counters reconcile
+    with the result table per round."""
+    synth = SynthConfig(n_hosts=3, pages_per_host=10)
+    seeds = seed_urls(synth)
+    eng = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=20))
+    per_round = {
+        r["round"]: r["n"]
+        for r in eng.metrics.groupBy("round")
+        .agg(F.sum("pages_crawled").alias("n")).collect()
+    }
+    pages_per_depth = {
+        r["depth"]: r["n"]
+        for r in eng.pages.groupBy("depth").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_round == pages_per_depth
+    assert eng.metrics.filter(F.col("run_id").isNull()).count() == 0
