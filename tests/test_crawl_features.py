@@ -84,16 +84,19 @@ def test_robots_gating(spark):
     never fetched and count as skipped, like the blacklist (F2)."""
     synth = SynthConfig(n_hosts=2, pages_per_host=10)
     seeds = seed_urls(synth)
-    h0 = host_name(0, synth.seed) + ".onion"
-    robots = {h0: ["/p1"]}   # blocks /p1, /p1x...
     plain = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=50))
+    plain_urls = {r["url"] for r in plain.pages.collect()}
+    # pick a non-seed URL that WAS crawled, and disallow its path prefix
+    victim = sorted(u for u in plain_urls if u not in seeds)[0]
+    host = victim.split("://")[1].split("/")[0]
+    path = "/" + victim.split("://")[1].split("/", 1)[1]
+    robots = {host: [path]}
     gated = run_crawl(
         spark, seeds, synth,
         CrawlConfig(max_depth=2, max_pages=50, robots=robots),
     )
-    blocked_prefix = f"http://{h0}/p1"
-    plain_urls = {r["url"] for r in plain.pages.collect()}
     gated_urls = {r["url"] for r in gated.pages.collect()}
+    blocked_prefix = f"http://{host}{path}"
     assert any(u.startswith(blocked_prefix) for u in plain_urls)
     assert not any(u.startswith(blocked_prefix) for u in gated_urls)
     assert gated.stats["pages_skipped"] > plain.stats["pages_skipped"]

@@ -1,0 +1,61 @@
+"""End-to-end lifecycle test: crawl → intel → sinks → report (§3.1)."""
+import json
+import os
+
+from sparkharvester.frontier import CrawlConfig, run_crawl
+from sparkharvester.report import (
+    analyze_pages,
+    build_aggregates,
+    render_html,
+    site_page_edges,
+)
+from sparkharvester.storage import save_all
+from sparkharvester.synth import SynthConfig, seed_urls
+
+
+def test_full_pipeline(spark, tmp_path):
+    synth = SynthConfig(n_hosts=3, pages_per_host=12)
+    eng = run_crawl(spark, seed_urls(synth), synth,
+                    CrawlConfig(max_depth=2, max_pages=10))
+    enriched = analyze_pages(eng.pages)
+
+    # sinks (S7-S10): parquet + json + csv, reference field names
+    out = str(tmp_path / "results")
+    paths = save_all(eng.pages, out)
+    assert set(paths) == {"parquet", "json", "csv"}
+    pq = spark.read.parquet(paths["parquet"])
+    assert pq.count() == eng.pages.count()
+    js = spark.read.json(paths["json"])
+    assert "crawl_time_s" in js.columns            # storage.py:175-187 rename
+    csv = spark.read.option("header", True).csv(paths["csv"])
+    assert "CrawlTime(s)" in csv.columns           # storage.py:218-228 header
+    assert csv.count() == eng.pages.count()
+
+    # report aggregates + render (S11)
+    aggs = build_aggregates(enriched)
+    cards = aggs.summary_cards.collect()[0]
+    assert cards["total_pages"] == eng.pages.count()
+    assert cards["total_sites"] >= 1
+    path = render_html(aggs, str(tmp_path / "report.html"))
+    html = open(path).read()
+    assert "<script" not in html                   # JS-free, test_report.py analog
+    assert "Risk distribution" in html
+
+    # graph edge table (J5)
+    edges = site_page_edges(eng.pages)
+    assert edges.count() == eng.pages.count()
+    assert set(edges.columns) == {"src", "dst"}
+
+
+def test_cli_main(tmp_path, capsys):
+    from sparkharvester.cli import main
+
+    rc = main(["--hosts", "2", "--pages-per-host", "8", "--max-depth", "1",
+               "--max-pages", "5", "--out", str(tmp_path / "o"),
+               "--cpus", "4", "--report"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["stats"]["pages_crawled"] > 0
+    assert os.path.exists(summary["outputs"]["report"])
+    assert os.path.exists(summary["snapshots"])

@@ -1,0 +1,95 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so per the driver instruction
+the ≥0.8 scaling-efficiency criterion between N and 4N executors is
+evidenced by running the IDENTICAL frontier-processing job on the
+IDENTICAL input at local[8] and local[32] (separate JVMs via
+subprocess — a SparkContext cannot change master in-process), and
+reporting throughput at both plus efficiency = (T_8 / T_32) / 4.
+
+Writes BENCH/BASELINE.md.  Usage: python tools/scaling.py [n_urls]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+from sparkharvester.session import get_spark
+from bench import bench_frontier, synth_frontier
+
+cpus = int(sys.argv[1]); n = int(sys.argv[2]); trials = int(sys.argv[3])
+spark = get_spark("scaling", master=f"local[{cpus}]",
+                  shuffle_partitions=max(2 * cpus, 16))
+spark.sparkContext.setLogLevel("ERROR")
+best = None
+for _ in range(trials):
+    r = bench_frontier(spark, n=n)
+    if best is None or r["frontier_sec"] < best["frontier_sec"]:
+        best = r
+best["cpus"] = cpus
+print("RESULT " + json.dumps(best))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, n: int, trials: int = 2) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", BENCH_SNIPPET, str(cpus), str(n), str(trials)],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    small, large = 8, 32
+    r_small = run_at(small, n)
+    r_large = run_at(large, n)
+    t_s, t_l = r_small["frontier_sec"], r_large["frontier_sec"]
+    speedup = t_s / t_l
+    eff = speedup / (large / small)
+    report = {
+        "job": "frontier-processing round (canonicalize + xxhash64 + "
+               "seen anti-join + per-host politeness window)",
+        "input_urls": n,
+        f"local[{small}]": r_small,
+        f"local[{large}]": r_large,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "efficiency >= 0.8 between N and 4N parallelism",
+        "pass": eff >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
+            "Per the driver instruction (no real cluster in this sandbox),\n"
+            "the north rule's ≥0.8 throughput-scaling criterion between N\n"
+            "and 4N executors is evidenced by the identical job at two\n"
+            "parallelism levels on the identical input (separate JVMs):\n\n"
+            f"| parallelism | wall (s) | URLs/s |\n|---|---|---|\n"
+            f"| local[{small}] | {t_s} | {r_small['frontier_urls_per_sec']} |\n"
+            f"| local[{large}] | {t_l} | {r_large['frontier_urls_per_sec']} |\n\n"
+            f"- input: {n:,} synthetic frontier URLs, seen-set = N/2 "
+            f"(parquet), per-host token budget 200\n"
+            f"- speedup local[{small}]→local[{large}]: **{speedup:.2f}×**\n"
+            f"- scaling efficiency = speedup / 4 = **{eff:.3f}** "
+            f"({'PASS' if eff >= 0.8 else 'FAIL'} vs ≥ 0.8)\n\n"
+            "```json\n" + json.dumps(report, indent=1) + "\n```\n"
+        )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
