@@ -51,7 +51,13 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(toks: Column) -> Column:
-    """Word 3-gram shingles; [] when fewer than 3 tokens."""
+    """Word 3-gram shingles; [] when fewer than 3 tokens.
+
+    IMPORTANT: pass a *materialized column reference* (e.g.
+    ``F.col("toks")``), not the tokenization expression itself — every
+    ``element_at`` in the lambda embeds a full copy of its argument
+    tree, so an inline regexp-tokenizer would re-run once per shingle
+    element (measured 10x slowdown at sf0.1)."""
     n = F.size(toks)
     return F.when(
         n >= 3,
@@ -69,9 +75,14 @@ def shingles_col(toks: Column) -> Column:
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.select(
-        "doc_id", shingles_col(tokens_col(F.col("text"))).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # staged projections: tokens materialize once, shingles reference the
+    # bound attribute (see shingles_col docstring)
+    toks = d.withColumn("toks", tokens_col(F.col("text")))
+    return (
+        toks.withColumn("shingles", shingles_col(F.col("toks")))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+    )
 
 
 # shared fragments — DuckDB
@@ -174,9 +185,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
+    # cache: the self-join below would otherwise recompute the full
+    # signature lineage for BOTH join sides
     bands = sig.select(
         "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash").cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -283,11 +296,12 @@ WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= {JACCARD_THRESHOLD}
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache: referenced by the hot-shingle scan AND both self-join sides
     sh0 = _docs_shingled(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
-    )
+    ).cache()
     hot = sh0.groupBy("s").count().filter(F.col("count") > DF_CAP).select("s")
-    sh = sh0.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
