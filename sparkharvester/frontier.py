@@ -96,6 +96,19 @@ class CrawlOutputs:
     stats: dict = dc_field(default_factory=dict)
 
 
+SEEN_SCHEMA = "seed_id int, canon_url string"
+HASHES_SCHEMA = "content_hash string"
+PAGES_SCHEMA = (
+    "seed_id int, url string, title string, text string, "
+    "content_hash string, depth int, crawl_time double, "
+    "links_found int, site string, crawled_at double"
+)
+METRICS_SCHEMA = (
+    "run_id string, round int, partition_id int, pages_crawled long, "
+    "pages_failed long, pages_skipped long, pages_deduplicated long"
+)
+
+
 def _empty_frontier(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "seed_id int, canon_url string, depth int")
 
@@ -119,16 +132,17 @@ def run_crawl(
     store = SnapshotStore(root)
 
     manifest = store.load_manifest() if resume_from else None
+    init_seen_pending = None   # folded into round-0's seen delta
     if manifest is not None:
         start_round = manifest["round"] + 1
         counts = {int(k): v for k, v in manifest["counts"].items()}
         pops = {int(k): v for k, v in manifest["pops"].items()}
         n_seeds = manifest["n_seeds"]
         frontier = store.read(spark, "frontier", manifest["round"])
-        seen = store.read(spark, "seen_urls", manifest["round"])
-        seen_hashes = store.read(spark, "seen_hashes", manifest["round"])
-        pages = store.read(spark, "pages", manifest["round"])
-        metrics = store.read(spark, "metrics", manifest["round"])
+        seen = store.read_deltas(spark, "seen_urls", SEEN_SCHEMA,
+                                 manifest["round"])
+        seen_hashes = store.read_deltas(spark, "seen_hashes", HASHES_SCHEMA,
+                                        manifest["round"])
     else:
         start_round = 0
         valid = [u for u in seeds if is_valid_onion_py(u)]   # crawler.py:293
@@ -141,20 +155,10 @@ def run_crawl(
             "seed_id int, canon_url string, depth int",
         )
         seen = spark.createDataFrame(
-            [(i, u) for i in range(n_seeds) for u in known],
-            "seed_id int, canon_url string",
+            [(i, u) for i in range(n_seeds) for u in known], SEEN_SCHEMA,
         )
-        seen_hashes = spark.createDataFrame([], "content_hash string")
-        pages = spark.createDataFrame(
-            [], "seed_id int, url string, title string, text string, "
-                "content_hash string, depth int, crawl_time double, "
-                "links_found int, site string, crawled_at double",
-        )
-        metrics = spark.createDataFrame(
-            [], "run_id string, round int, partition_id int, "
-                "pages_crawled long, pages_failed long, pages_skipped long, "
-                "pages_deduplicated long",
-        )
+        init_seen_pending = seen
+        seen_hashes = spark.createDataFrame([], HASHES_SCHEMA)
 
     fetch_stage = make_fetch_stage(synth_cfg)
     robots = cfg.robots or {}
@@ -289,7 +293,8 @@ def run_crawl(
                               .agg(F.count("*").alias("links_found"))
         fetched = fetched.join(link_counts, ["seed_id", "canon_url"], "left") \
                          .withColumn("links_found",
-                                     F.coalesce("links_found", F.lit(0)))
+                                     F.coalesce("links_found", F.lit(0))
+                                     .cast("int"))
 
         # ---- global content dedup (D1, canonical order) --------------------
         eligible = F.col("ok") & ~F.col("blacklisted")
@@ -354,12 +359,8 @@ def run_crawl(
         # ---- state updates ---------------------------------------------------
         popped_rows = fetched.filter(F.col("popped"))
         seen_delta = popped_rows.select("seed_id", "canon_url")
-        new_seen = seen.unionByName(seen_delta).dropDuplicates(
-            ["seed_id", "canon_url"]
-        )
-        new_hashes = seen_hashes.unionByName(
-            results_r.select("content_hash")
-        ).dropDuplicates(["content_hash"])
+        # (anti-joins keep deltas disjoint across rounds, so union == set)
+        new_seen = seen.unionByName(seen_delta)
 
         # frontier_{d+1}: links from popped fetched rows (crawler.py:258-262)
         if depth < cfg.max_depth:
@@ -413,19 +414,24 @@ def run_crawl(
             pops[s] += int(np_)
 
         # ---- snapshot commit (lineage truncation + exact resume) -------------
-        pages = pages.unionByName(results_r)
-        metrics = metrics.unionByName(metrics_r)
+        # Accumulating tables commit O(delta) appends, not full rewrites
+        # (Iceberg append-snapshot shape); frontier is genuinely new state
+        # each round and is rewritten (it stays small: unvisited horizon).
+        seen_commit = seen_delta
+        if init_seen_pending is not None:
+            seen_commit = seen_commit.unionByName(init_seen_pending)
+            init_seen_pending = None
         store.write(new_frontier, "frontier", round_no)
-        store.write(new_seen, "seen_urls", round_no)
-        store.write(new_hashes, "seen_hashes", round_no)
-        store.write(pages, "pages", round_no)
-        store.write(metrics, "metrics", round_no)
+        store.write_delta(seen_commit, "seen_urls", round_no)
+        store.write_delta(results_r.select("content_hash"), "seen_hashes",
+                          round_no)
+        store.write_delta(results_r, "pages", round_no)
+        store.write_delta(metrics_r, "metrics", round_no)
         fetched.unpersist()
         frontier = store.read(spark, "frontier", round_no)
-        seen = store.read(spark, "seen_urls", round_no)
-        seen_hashes = store.read(spark, "seen_hashes", round_no)
-        pages = store.read(spark, "pages", round_no)
-        metrics = store.read(spark, "metrics", round_no)
+        seen = store.read_deltas(spark, "seen_urls", SEEN_SCHEMA, round_no)
+        seen_hashes = store.read_deltas(spark, "seen_hashes", HASHES_SCHEMA,
+                                        round_no)
         store.commit({
             "round": round_no,
             "depth": depth,
@@ -438,6 +444,11 @@ def run_crawl(
         round_no += 1
         if cfg.stop_after_round is not None and round_no > cfg.stop_after_round:
             break   # interruption: partial state is committed (cli.py:292-295)
+
+    # accumulated outputs from the per-round delta files
+    last = round_no - 1
+    pages = store.read_deltas(spark, "pages", PAGES_SCHEMA, last)
+    metrics = store.read_deltas(spark, "metrics", METRICS_SCHEMA, last)
 
     # canonical global sequence (SURVEY §3.1): (depth, canon_url, seed_id)
     w_seq = Window.orderBy("depth", "url", "seed_id")

@@ -40,6 +40,31 @@ class SnapshotStore:
     def read(self, spark: SparkSession, table: str, version: int) -> DataFrame:
         return spark.read.parquet(self._path(table, version))
 
+    # -- append-only delta tables ---------------------------------------------
+    # Accumulating tables (pages, seen, metrics) write one small delta per
+    # round instead of rewriting the whole table — O(delta) commit cost,
+    # like an Iceberg append snapshot.  Readers union the delta files.
+
+    def _delta_path(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, f"delta-r{version:06d}")
+
+    def write_delta(self, df: DataFrame, table: str, version: int) -> str:
+        path = self._delta_path(table, version)
+        # coalesce(1) guarantees a schema-bearing footer even when empty
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return path
+
+    def read_deltas(self, spark: SparkSession, table: str, schema: str,
+                    upto_version: int) -> DataFrame:
+        paths = [
+            self._delta_path(table, v)
+            for v in range(upto_version + 1)
+            if os.path.isdir(self._delta_path(table, v))
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
     # -- manifest commit protocol -------------------------------------------
 
     def commit(self, meta: dict[str, Any]) -> None:
@@ -61,6 +86,36 @@ class SnapshotStore:
             return None
         with open(p) as f:
             return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Idempotent MERGE (S7/D4): SQLite INSERT OR IGNORE analog
+# ---------------------------------------------------------------------------
+
+
+def merge_new_only(existing: DataFrame, batch: DataFrame,
+                   keys: list[str]) -> tuple[DataFrame, DataFrame]:
+    """``INSERT OR IGNORE`` semantics (storage.py:28,135-147): rows of
+    *batch* whose key is absent from *existing* are inserted; returns
+    ``(merged, inserted)``.  On a catalog-backed cluster this is
+    ``MERGE INTO … WHEN NOT MATCHED THEN INSERT``; here it's an exact
+    anti-join append, with batch-internal duplicates collapsed to the
+    first row by key (UNIQUE constraint analog).
+
+    Scale: the anti-join shuffles on the key — the same physics Iceberg
+    MERGE pays; AQE picks broadcast when the batch is small.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    order_cols = [c for c in batch.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*(order_cols or keys))
+    deduped = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    inserted = deduped.join(existing.select(*keys), keys, "left_anti")
+    return existing.unionByName(inserted), inserted
 
 
 # ---------------------------------------------------------------------------
