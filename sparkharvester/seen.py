@@ -19,7 +19,7 @@ sets (crawler.py:111,230) — which cap out at single-host RAM.
 """
 from __future__ import annotations
 
-import hashlib
+
 import math
 from typing import Iterator
 
@@ -38,14 +38,18 @@ def _params(expected_items: int, fpp: float) -> tuple[int, int]:
 
 
 def _hash2(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two stable 64-bit hashes per value (double hashing scheme)."""
-    h1 = np.empty(len(values), dtype=np.uint64)
-    h2 = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = hashlib.md5(str(v).encode("utf-8")).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:16], "little") | 1
-    return h1, h2
+    """Two stable 64-bit hashes per value (double hashing scheme).
+
+    Vectorized: pandas' SipHash with two fixed keys — deterministic
+    across processes/executors (what add/probe consistency needs), no
+    per-row Python (north-rule input hint).
+    """
+    s = values.astype(str)
+    h1 = pd.util.hash_pandas_object(
+        s, index=False, hash_key="sparkharvest0001").to_numpy(dtype=np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        s, index=False, hash_key="sparkharvest0002").to_numpy(dtype=np.uint64)
+    return h1, h2 | np.uint64(1)
 
 
 class BloomFilter:
