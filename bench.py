@@ -104,6 +104,24 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 3)
 
     fr = bench_frontier(spark, n=frontier_n)
+
+    # crawl-engine throughput: full BFS rounds incl. fetch/dedup/caps
+    from sparkharvester.frontier import CrawlConfig, run_crawl
+    from sparkharvester.synth import SynthConfig, seed_urls
+
+    synth = SynthConfig(n_hosts=100, pages_per_host=150, fanout=10)
+    t0 = time.monotonic()
+    eng = run_crawl(spark, seed_urls(synth), synth,
+                    CrawlConfig(max_depth=2, max_pages=150, salt_buckets=16))
+    crawl_sec = time.monotonic() - t0
+    pops = sum(v for k, v in eng.stats.items() if k.startswith("pages"))
+    crawl = {
+        "crawl_sec": round(crawl_sec, 3),
+        "crawl_pages": eng.stats["pages_crawled"],
+        "crawl_pages_per_sec": round(eng.stats["pages_crawled"] / crawl_sec, 1),
+        "crawl_pops_per_sec": round(pops / crawl_sec, 1),
+    }
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline query time at sf + frontier-processing throughput",
@@ -112,6 +130,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         **fr,
+        **crawl,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -84,6 +84,7 @@ class CrawlConfig:
     run_id: str = "run-1"
     checkpoint_dir: str | None = None
     stop_after_round: int | None = None   # I6 analog: simulate interruption
+    auto_robots: bool = False   # fetch-once-per-host robots cache table
 
 
 @dataclass
@@ -107,6 +108,26 @@ METRICS_SCHEMA = (
     "run_id string, round int, partition_id int, pages_crawled long, "
     "pages_failed long, pages_skipped long, pages_deduplicated long"
 )
+# one row per (host, disallow prefix); a host with an empty robots.txt
+# gets a single NULL-prefix row so the cache still records the fetch
+ROBOTS_SCHEMA = "host string, dis_prefix string"
+
+
+def _make_robots_fetch(seed: int):
+    """mapInPandas robots 'fetch' (deterministic synth) for uncached hosts."""
+    import pandas as pd
+
+    from .synth import robots_for_host
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            for host in pdf["host"]:
+                prefixes = robots_for_host(host, seed) or [None]
+                rows.extend((host, p) for p in prefixes)
+            yield pd.DataFrame(rows, columns=["host", "dis_prefix"])
+
+    return fetch
 
 
 def _empty_frontier(spark: SparkSession) -> DataFrame:
@@ -222,15 +243,33 @@ def run_crawl(
             # at most `tokens` admissions per host per virtual round (I4).
 
         # robots gate (north rule; superset of the blacklist predicate F2)
-        if robots:
-            robots_df = F.broadcast(spark.createDataFrame(
+        if cfg.auto_robots:
+            # robots.txt CACHE: hosts not yet in the cache table get their
+            # robots "fetched" once (deterministic synth) and appended as
+            # a delta — fetch-once-per-host semantics, persisted across
+            # rounds and resumes.
+            cached = store.read_deltas(spark, "robots", ROBOTS_SCHEMA,
+                                       round_no - 1)
+            new_hosts = cand.select("host").distinct().join(
+                cached.select("host").distinct(), "host", "left_anti")
+            fetched_robots = new_hosts.mapInPandas(
+                _make_robots_fetch(synth_cfg.seed), ROBOTS_SCHEMA)
+            store.write_delta(fetched_robots, "robots", round_no)
+            robots_table = store.read_deltas(spark, "robots", ROBOTS_SCHEMA,
+                                             round_no)
+        elif robots:
+            robots_table = spark.createDataFrame(
                 [(h, p) for h, ps in robots.items() for p in ps],
-                "host string, dis_prefix string",
-            ))
+                ROBOTS_SCHEMA,
+            )
+        else:
+            robots_table = None
+
+        if robots_table is not None:
             path_col = F.regexp_extract("canon_url", r"^https?://[^/]+(/.*)?$", 1)
             hit = (
                 cand.withColumn("__path", path_col)
-                .join(robots_df, "host", "left")
+                .join(F.broadcast(robots_table), "host", "left")
                 .withColumn(
                     "__robots_block",
                     F.col("dis_prefix").isNotNull()

@@ -13,10 +13,15 @@ from .synth import SynthConfig, seed_urls
 
 _SYNTH = SynthConfig(n_hosts=4, pages_per_host=20)
 _CFG = CrawlConfig(max_depth=2, max_pages=15)
+_MEMO: dict[int, object] = {}
 
 
 def _crawl(spark: SparkSession):
-    return run_crawl(spark, seed_urls(_SYNTH), _SYNTH, _CFG)
+    # memoized per session: crawl_bfs and crawl_metrics share one run
+    key = id(spark)
+    if key not in _MEMO:
+        _MEMO[key] = run_crawl(spark, seed_urls(_SYNTH), _SYNTH, _CFG)
+    return _MEMO[key]
 
 
 @register(

@@ -42,5 +42,12 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table."""
+    """Read one driver-generated parquet table.
+
+    Pins the session timezone to UTC: the testdata timestamps are
+    timezone-naive (NTZ), and every time-based query must interpret
+    them exactly like the DuckDB oracle does, regardless of how the
+    caller built the session."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -168,6 +168,16 @@ def make_fetch_stage(cfg: SynthConfig):
     return fetch
 
 
+def robots_for_host(host: str, seed: int = 42) -> list[str]:
+    """Deterministic synthetic robots.txt disallow prefixes per host
+    (the robots "fetch" of the sandbox).  ~1/3 of hosts disallow one
+    /pN prefix; the rest allow everything."""
+    h = _h(f"robots/{seed}/{host}")
+    if h % 3 == 0:
+        return [f"/p{h % 7}"]
+    return []
+
+
 def seed_urls(cfg: SynthConfig, n_seeds: int | None = None) -> list[str]:
     """First page of each host, in host order (the reference's seed list)."""
     n = n_seeds if n_seeds is not None else cfg.n_hosts

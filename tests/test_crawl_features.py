@@ -102,6 +102,44 @@ def test_robots_gating(spark):
     assert gated.stats["pages_skipped"] > plain.stats["pages_skipped"]
 
 
+def test_auto_robots_cache(spark):
+    """robots.txt cache table: each host's robots is fetched ONCE and
+    persisted as a delta; disallowed prefixes never appear in results."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkharvester.frontier import ROBOTS_SCHEMA
+    from sparkharvester.storage import SnapshotStore
+    from sparkharvester.synth import robots_for_host
+
+    synth = SynthConfig(n_hosts=4, pages_per_host=12)
+    seeds = seed_urls(synth)
+    root = tempfile.mkdtemp(prefix="robots_")
+    eng = run_crawl(
+        spark, seeds, synth,
+        CrawlConfig(max_depth=2, max_pages=50, auto_robots=True,
+                    checkpoint_dir=root),
+    )
+    store = SnapshotStore(root)
+    cache = store.read_deltas(spark, "robots", ROBOTS_SCHEMA, eng.rounds - 1)
+    rows = cache.collect()
+    hosts = [r["host"] for r in rows]
+    # fetch-once: every (host, prefix) recorded exactly once
+    assert len(set((r["host"], r["dis_prefix"]) for r in rows)) == len(rows)
+    # cache content matches the synthetic robots
+    for r in rows:
+        expected = robots_for_host(r["host"], synth.seed) or [None]
+        assert r["dis_prefix"] in expected
+    # no crawled page violates its host's disallow list
+    for p in eng.pages.collect():
+        host = p["url"].split("://")[1].split("/")[0]
+        path = "/" + p["url"].split("://")[1].split("/", 1)[1]
+        for pref in robots_for_host(host, synth.seed):
+            assert not path.startswith(pref), p["url"]
+    assert len(hosts) > 0
+
+
 def test_metrics_lineage(spark):
     """Per-partition lineage metrics (north rule): counters reconcile
     with the result table per round."""
