@@ -49,24 +49,66 @@ def synth_frontier(spark: SparkSession, n: int, n_hosts: int = 10_000):
 
 def bench_frontier(spark: SparkSession, n: int = 2_000_000,
                    tokens_per_host: int = 200) -> dict:
-    """One frontier round, measured: canonicalize + hash + seen
-    anti-join + per-host politeness admission.  The whole pipeline is
-    codegen expressions + two shuffles (join, window)."""
-    frontier = synth_frontier(spark, n).withColumn(
-        "canon_url", canonicalize_expr(F.col("url"))
-    ).withColumn("url_hash", url_hash64(F.col("canon_url")))
-    # seen set: half the frontier (every even id), pre-written to parquet
-    # so the bench measures the round, not seen-set synthesis
-    seen = synth_frontier(spark, n // 2).select(
+    """One frontier round at the north-rule's 10^10-scale architecture:
+
+      canonicalize + xxhash64 (codegen) → partitioned-bloom probe
+      (broadcast bits, Arrow-vectorized) → definitely-unseen rows BYPASS
+      the join → maybe-seen rows take an exact anti-join against a
+      BUCKETED seen table (one-sided shuffle: the seen side is
+      pre-clustered by url_hash, only the small maybe-seen side moves)
+      → per-host politeness admission window.
+
+    State prep (seen table, bloom build) is excluded from the timing —
+    at steady state it is incremental (per-round deltas), not per-round
+    work.  1/4 of the frontier overlaps the seen set (steady-state
+    re-discovery rate; upstream distinct removes intra-round dups).
+    """
+    from sparkharvester.seen import bloom_probe_udf, build_bloom
+
+    # -- state prep (untimed) -------------------------------------------------
+    n_seen = n // 2
+    seen = synth_frontier(spark, n_seen).select(
         url_hash64(canonicalize_expr(F.col("url"))).alias("url_hash")
     )
-    tmp = f"/tmp/bench_seen_{os.getpid()}"
-    seen.write.mode("overwrite").parquet(tmp)
-    seen = spark.read.parquet(tmp)
+    spark.sql("DROP TABLE IF EXISTS bench_seen")
+    (
+        seen.write.mode("overwrite")
+        .bucketBy(64, "url_hash").sortBy("url_hash")
+        .saveAsTable("bench_seen")
+    )
+    seen_tbl = spark.table("bench_seen")
+    bloom = build_bloom(seen_tbl, "url_hash", expected_items=n_seen, fpp=0.01)
+    probe = bloom_probe_udf(spark, bloom)
 
+    # frontier: ids [n_seen, n_seen + n) → first n_seen//2 overlap seen
+    frontier = (
+        spark.range(n_seen // 2, n_seen // 2 + n)
+        .select(
+            F.concat(
+                F.lit("HTTP://"),
+                F.rpad(F.translate((F.col("id") % 10_000).cast("string"),
+                                   "0123456789", "abcdefghij"), 56, "q"),
+                F.lit(".onion/Page/"),
+                F.col("id").cast("string"),
+                F.when(F.col("id") % 3 == 0, F.lit("?b=2&a=1&empty="))
+                 .otherwise(F.lit("")),
+                F.when(F.col("id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            ).alias("url"),
+            (F.col("id") % 10_000).alias("host_id"),
+        )
+    )
+
+    # -- the measured round ----------------------------------------------------
     t0 = time.monotonic()
+    hashed = frontier.withColumn(
+        "canon_url", canonicalize_expr(F.col("url"))
+    ).withColumn("url_hash", url_hash64(F.col("canon_url"))) \
+     .withColumn("__maybe", probe(F.col("url_hash")))
+    unseen_fast = hashed.filter(~F.col("__maybe"))
+    checked = hashed.filter(F.col("__maybe")) \
+                    .join(seen_tbl, "url_hash", "left_anti")
     survivors = (
-        frontier.join(seen, "url_hash", "left_anti")
+        unseen_fast.unionByName(checked)
         .withColumn(
             "admitted",
             F.row_number().over(

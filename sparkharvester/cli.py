@@ -40,12 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from .frontier import CrawlConfig, run_crawl
     from .report import analyze_pages, build_aggregates, render_html
     from .session import get_spark
     from .storage import save_all
     from .synth import SynthConfig, seed_urls
 
+    # only stop the session on exit if WE created it (embedders/tests may
+    # pass in a live session via getOrCreate reuse)
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("sparkharvester", master=f"local[{args.cpus}]",
                       shuffle_partitions=max(args.cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
         "cpus": args.cpus,
     }
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

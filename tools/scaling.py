@@ -38,7 +38,7 @@ spark.stop()
 """
 
 
-def run_at(cpus: int, n: int, trials: int = 2) -> dict:
+def run_at(cpus: int, n: int, trials: int = 3) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", BENCH_SNIPPET, str(cpus), str(n), str(trials)],
         capture_output=True, text=True, timeout=1200,
