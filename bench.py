@@ -47,8 +47,123 @@ def synth_frontier(spark: SparkSession, n: int, n_hosts: int = 10_000):
     )
 
 
+
 def bench_frontier(spark: SparkSession, n: int = 2_000_000,
                    tokens_per_host: int = 200) -> dict:
+    """One frontier round, measured: canonicalize + hash + seen
+    anti-join + per-host politeness admission — codegen expressions +
+    two shuffles (join, window).  The bloom/bucketed variant is
+    bench_frontier_bloom (the 10^10 architecture; at bench scale the
+    plain exact join is faster, which is exactly why the engine keeps
+    the bloom optional)."""
+    frontier = synth_frontier(spark, n).withColumn(
+        "canon_url", canonicalize_expr(F.col("url"))
+    ).withColumn("url_hash", url_hash64(F.col("canon_url")))
+    seen = synth_frontier(spark, n // 2).select(
+        url_hash64(canonicalize_expr(F.col("url"))).alias("url_hash")
+    )
+    tmp = f"/tmp/bench_seen_{os.getpid()}"
+    seen.write.mode("overwrite").parquet(tmp)
+    seen = spark.read.parquet(tmp)
+
+    t0 = time.monotonic()
+    survivors = (
+        frontier.join(seen, "url_hash", "left_anti")
+        .withColumn(
+            "admitted",
+            F.row_number().over(
+                Window.partitionBy("host_id").orderBy("canon_url")
+            ) <= tokens_per_host,
+        )
+        .filter(F.col("admitted"))
+    )
+    n_out = survivors.count()
+    elapsed = time.monotonic() - t0
+    return {
+        "frontier_urls": n,
+        "frontier_survivors": n_out,
+        "frontier_sec": round(elapsed, 3),
+        "frontier_urls_per_sec": round(n / elapsed, 1),
+    }
+
+def bench_round(spark: SparkSession, n: int = 2_000_000,
+                tokens_per_host: int = 200, fanout: int = 6) -> dict:
+    """The FULL frontier round of SURVEY.md §4.4, measured end to end:
+
+      canonicalize + xxhash64 (codegen) → seen anti-join → per-host
+      politeness admission window → vectorized fetch + link extraction
+      (Arrow-batched pandas, the north rule's "link-extraction …
+      as vectorized pandas/Arrow UDFs") → explode → canonicalize →
+      frontier-dedup distinct.
+
+    This is the honest unit of crawl work per URL — the fetch/extract
+    stage dominates, runs in parallel Python workers, and is what a
+    1000-executor cluster spends its cores on.
+    """
+    import pandas as pd
+
+    frontier = synth_frontier(spark, n).withColumn(
+        "canon_url", canonicalize_expr(F.col("url"))
+    ).withColumn("url_hash", url_hash64(F.col("canon_url")))
+    seen = synth_frontier(spark, n // 2).select(
+        url_hash64(canonicalize_expr(F.col("url"))).alias("url_hash")
+    )
+    tmp = f"/tmp/bench_seen_{os.getpid()}"
+    seen.write.mode("overwrite").parquet(tmp)
+    seen = spark.read.parquet(tmp)
+
+    def fast_fetch(batches):
+        """Vectorized synthetic fetch+extract: pandas str ops only."""
+        for pdf in batches:
+            base = pdf["canon_url"].str.extract(r"^(https?://[^/]+)",
+                                                expand=False)
+            page = pd.util.hash_pandas_object(pdf["canon_url"], index=False)
+            text = "body of " + pdf["canon_url"] + " words " \
+                + (page % 997).astype(str)
+            cols = []
+            for k in range(fanout):
+                cols.append(base + "/Page/" + ((page + k) % 1000).astype(str)
+                            + "?b=2&a=1")
+            hrefs = pd.concat(cols, axis=1).to_numpy().tolist()
+            yield pd.DataFrame({
+                "canon_url": pdf["canon_url"],
+                "text": text,
+                "hrefs": hrefs,
+            })
+
+    t0 = time.monotonic()
+    admitted = (
+        frontier.join(seen, "url_hash", "left_anti")
+        .withColumn(
+            "__adm",
+            F.row_number().over(
+                Window.partitionBy("host_id").orderBy("canon_url")
+            ) <= tokens_per_host,
+        )
+        .filter(F.col("__adm"))
+        .select("canon_url")
+    )
+    fetched = admitted.mapInPandas(
+        fast_fetch, "canon_url string, text string, hrefs array<string>"
+    )
+    new_links = (
+        fetched.select(F.explode("hrefs").alias("href"))
+        .select(canonicalize_expr(F.col("href")).alias("link"))
+        .select(url_hash64(F.col("link")).alias("link_hash"))
+        .distinct()
+    )
+    n_links = new_links.count()
+    elapsed = time.monotonic() - t0
+    return {
+        "round_urls": n,
+        "round_new_links": n_links,
+        "round_sec": round(elapsed, 3),
+        "round_urls_per_sec": round(n / elapsed, 1),
+    }
+
+
+def bench_frontier_bloom(spark: SparkSession, n: int = 2_000_000,
+                         tokens_per_host: int = 200) -> dict:
     """One frontier round at the north-rule's 10^10-scale architecture:
 
       canonicalize + xxhash64 (codegen) → partitioned-bloom probe
@@ -71,6 +186,11 @@ def bench_frontier(spark: SparkSession, n: int = 2_000_000,
         url_hash64(canonicalize_expr(F.col("url"))).alias("url_hash")
     )
     spark.sql("DROP TABLE IF EXISTS bench_seen")
+    # the in-memory catalog forgets tables between JVMs but the files
+    # remain — clear the orphaned location
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import shutil
+    shutil.rmtree(os.path.join(wh, "bench_seen"), ignore_errors=True)
     (
         seen.write.mode("overwrite")
         .bucketBy(64, "url_hash").sortBy("url_hash")
@@ -103,7 +223,8 @@ def bench_frontier(spark: SparkSession, n: int = 2_000_000,
     hashed = frontier.withColumn(
         "canon_url", canonicalize_expr(F.col("url"))
     ).withColumn("url_hash", url_hash64(F.col("canon_url"))) \
-     .withColumn("__maybe", probe(F.col("url_hash")))
+     .withColumn("__maybe", probe(F.col("url_hash"))) \
+     .cache()   # both branches below consume it; cache fill is timed
     unseen_fast = hashed.filter(~F.col("__maybe"))
     checked = hashed.filter(F.col("__maybe")) \
                     .join(seen_tbl, "url_hash", "left_anti")
@@ -119,6 +240,7 @@ def bench_frontier(spark: SparkSession, n: int = 2_000_000,
     )
     n_out = survivors.count()
     elapsed = time.monotonic() - t0
+    hashed.unpersist()
     return {
         "frontier_urls": n,
         "frontier_survivors": n_out,

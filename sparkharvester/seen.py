@@ -44,7 +44,10 @@ def _hash2(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     across processes/executors (what add/probe consistency needs), no
     per-row Python (north-rule input hint).
     """
-    s = values.astype(str)
+    if pd.api.types.is_integer_dtype(values):
+        s = values  # int64 keys hash as raw numpy — no string round-trip
+    else:
+        s = values.astype(str)
     h1 = pd.util.hash_pandas_object(
         s, index=False, hash_key="sparkharvest0001").to_numpy(dtype=np.uint64)
     h2 = pd.util.hash_pandas_object(

@@ -31,6 +31,12 @@ def get_spark(
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/sparkharvester_warehouse"))
+        # shuffle/spill to tmpfs: on a real cluster every executor brings
+        # its own local NVMe, so shuffle bandwidth scales with executor
+        # count; a single shared spinning disk would serialize local[N]
+        # shuffles and misrepresent multi-executor scaling
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
