@@ -86,6 +86,57 @@ def bench_frontier(spark: SparkSession, n: int = 2_000_000,
         "frontier_urls_per_sec": round(n / elapsed, 1),
     }
 
+def bench_round_fetch(spark: SparkSession, n: int = 400_000,
+                      tokens_per_host: int = 200) -> dict:
+    """Crawl-round throughput with the engine's REAL fetch stage
+    (synth.make_fetch_stage — the deterministic stand-in whose per-URL
+    cost models fetch+parse work).  Real crawls are fetch-dominated
+    (the reference spends its entire wall clock inside requests.get,
+    crawler.py:123-153), so this is the faithful job for the
+    cluster-size throughput criterion: the fetch stage is an
+    embarrassingly parallel mapInPandas over admitted URLs."""
+    from sparkharvester.synth import FETCH_SCHEMA, SynthConfig, make_fetch_stage
+
+    cfg = SynthConfig(n_hosts=10_000, pages_per_host=1000)
+    fetch = make_fetch_stage(cfg)
+    frontier = synth_frontier(spark, n).withColumn(
+        "canon_url", canonicalize_expr(F.col("url"))
+    ).withColumn("url_hash", url_hash64(F.col("canon_url")))
+    seen = synth_frontier(spark, n // 2).select(
+        url_hash64(canonicalize_expr(F.col("url"))).alias("url_hash")
+    )
+    tmp = f"/tmp/bench_seen_{os.getpid()}"
+    seen.write.mode("overwrite").parquet(tmp)
+    seen = spark.read.parquet(tmp)
+
+    t0 = time.monotonic()
+    admitted = (
+        frontier.join(seen, "url_hash", "left_anti")
+        .withColumn(
+            "__adm",
+            F.row_number().over(
+                Window.partitionBy("host_id").orderBy("canon_url")
+            ) <= tokens_per_host,
+        )
+        .filter(F.col("__adm"))
+        .select("canon_url", F.lit(0).alias("seed_id"), F.lit(0).alias("depth"))
+    )
+    fetched = admitted.mapInPandas(fetch, FETCH_SCHEMA)
+    n_links = (
+        fetched.select(F.explode("hrefs").alias("href"))
+        .select(url_hash64(F.col("href")).alias("h"))
+        .distinct()
+        .count()
+    )
+    elapsed = time.monotonic() - t0
+    return {
+        "fetch_round_urls": n,
+        "fetch_round_new_links": n_links,
+        "fetch_round_sec": round(elapsed, 3),
+        "fetch_round_urls_per_sec": round(n / elapsed, 1),
+    }
+
+
 def bench_round(spark: SparkSession, n: int = 2_000_000,
                 tokens_per_host: int = 200, fanout: int = 6) -> dict:
     """The FULL frontier round of SURVEY.md §4.4, measured end to end:
