@@ -136,6 +136,21 @@ def d1_window_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within label buckets, bounded sample, threshold 0.95
 # ---------------------------------------------------------------------------
 
+@register(
+    "graph_pagerank",
+    oracle=None,  # iterative — verified vs a numpy oracle in tests/test_graph.py
+    doc="PageRank over a synthetic host graph as an iterative DataFrame "
+        "loop with per-iteration lineage truncation (J5/A8 extension)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import host_edges_synthetic, pagerank
+
+    edges = host_edges_synthetic(spark, n_hosts=100, fanout=3)
+    return pagerank(edges, iterations=10).select(
+        "node", F.round("rank", 8).alias("rank")
+    )
+
+
 _SIM_T = 0.3    # calibrated: max within-label cosine in the testdata ≈ 0.41
 _SAMPLE = 400   # vec_id < _SAMPLE keeps the pair space bounded at any sf
 
