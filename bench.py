@@ -319,6 +319,7 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 3)
 
     fr = bench_frontier(spark, n=frontier_n)
+    rd = bench_round(spark, n=frontier_n // 2)
 
     # crawl-engine throughput: full BFS rounds incl. fetch/dedup/caps
     from sparkharvester.frontier import CrawlConfig, run_crawl
@@ -345,6 +346,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         **fr,
+        **rd,
         **crawl,
         "cpus": cpus,
     }
