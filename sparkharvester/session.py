@@ -57,6 +57,10 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     timezone-naive (NTZ), and every time-based query must interpret
     them exactly like the DuckDB oracle does, regardless of how the
     caller built the session."""
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # noqa: BLE001 — unset/invalid on exotic sessions
+        tz = None
+    if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
