@@ -310,6 +310,10 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JVM/codegen/python-worker spin-up out of the measurements
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
     qs = {n: q for n, q in all_queries().items() if q.bench}
     times: dict[str, float] = {}
     for name, q in sorted(qs.items()):

@@ -135,18 +135,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_cols(shingles: Column) -> list[Column]:
+def _minhash_h1h2(shingles: Column) -> tuple[Column, Column]:
+    """Double-hashing base: ONE md5 per shingle → (h1, h2) 60/56-bit int
+    arrays; the K minhashes derive as min(h1 + j*h2) — the classic
+    Kirsch-Mitzenmacher construction, cutting hash work K-fold.
+    h1 < 2^60 and j*h2 < 15*2^56 < 2^60, so sums stay inside int64."""
+    md5s = F.transform(shingles, lambda s: F.md5(s))
+    h1 = F.transform(md5s, lambda m: F.conv(F.substring(m, 1, 15), 16, 10)
+                     .cast("long"))
+    h2 = F.transform(md5s, lambda m: F.conv(F.substring(m, 17, 14), 16, 10)
+                     .cast("long").bitwiseOR(F.lit(1)))
+    return h1, h2
+
+
+def _minhash_cols() -> list[Column]:
+    """K minhash columns from staged __h1/__h2 array columns."""
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+            F.zip_with(F.col("__h1"), F.col("__h2"),
+                       lambda a, b: a + F.lit(j) * b)
         ).alias(f"mh_{j}")
         for j in range(MINHASH_K)
     ]
 
 
+_H1_SQL = ("list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15)"
+           " AS BIGINT))")
+_H2_SQL = ("list_transform(shingles, s -> CAST('0x' || substr(md5(s), 17, 14)"
+           " AS BIGINT) | 1)")
+
+
 def _minhash_sql_cols() -> str:
     return ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min') AS mh_{j}"
+        f"list_aggregate(list_transform(generate_series(1, length(h1)), "
+        f"i -> h1[i] + {j} * h2[i]), 'min') AS mh_{j}"
         for j in range(MINHASH_K)
     )
 
@@ -154,13 +176,18 @@ def _minhash_sql_cols() -> str:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-WITH sig AS (
-  SELECT doc_id, {_minhash_sql_cols()} FROM {_SHINGLED_NONEMPTY_SQL}
+WITH hashed AS (
+  SELECT doc_id, {_H1_SQL} AS h1, {_H2_SQL} AS h2
+  FROM {_SHINGLED_NONEMPTY_SQL}
+),
+sig AS (
+  SELECT doc_id, {_minhash_sql_cols()} FROM hashed
 ),
 bands AS (
   {' UNION ALL '.join(
       f"SELECT doc_id, {b} AS band_id, md5("
-      + " || ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+      + " || ".join(f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)"
+                    for r in range(LSH_ROWS))
       + ") AS band_hash FROM sig"
       for b in range(LSH_BANDS)
   )}
@@ -174,13 +201,15 @@ FROM bands a JOIN bands b
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _docs_shingled(spark, sf_dir).select(
-        "doc_id", *_minhash_cols(F.col("shingles"))
+    h1, h2 = _minhash_h1h2(F.col("shingles"))
+    hashed = _docs_shingled(spark, sf_dir).withColumns(
+        {"__h1": h1, "__h2": h2}   # staged: md5 once per shingle
     )
+    sig = hashed.select("doc_id", *_minhash_cols())
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"mh_{b * LSH_ROWS + r}")
+            F.md5(F.concat(*[F.col(f"mh_{b * LSH_ROWS + r}").cast("string")
                              for r in range(LSH_ROWS)])).alias("band_hash"),
         )
         for b in range(LSH_BANDS)
