@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -313,6 +315,14 @@ def main() -> None:
     # warmup: JVM/codegen/python-worker spin-up out of the measurements
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # pre-spawn one Arrow python worker per core (~0.3s each, first use)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    spark.range(cpus * 10_000).repartition(cpus) \
+        .select(_warm(F.col("id"))).write.format("noop").mode("overwrite").save()
 
     qs = {n: q for n, q in all_queries().items() if q.bench}
     times: dict[str, float] = {}

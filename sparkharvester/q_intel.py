@@ -20,11 +20,11 @@ from . import intel, sqlgen
 from .constants import CATEGORY_ORDER
 from .enrich import enriched_text_spark, enriched_text_sql
 from .registry import register
-from .session import load
+from .session import load, load_spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "source",
         enriched_text_spark(F.col("doc_id"), F.col("text")).alias("text"),

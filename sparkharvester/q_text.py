@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .constants import LANG_ORDER, LANG_STOPWORDS, QUALITY_STOPWORDS
 from .registry import register
-from .session import load
+from .session import load, load_spread
 from .sqlgen import sq
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
@@ -90,7 +90,7 @@ FROM s
     bench=True,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     tl = _padded_lower(F.col("text"))
     scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
     df = df.withColumns(scores)
@@ -133,7 +133,7 @@ FROM q
     doc="per-doc quality metrics: length, punct ratio, stopword ratio",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     tl = _padded_lower(F.col("text"))
     stop_hits = None
     for w in QUALITY_STOPWORDS:
@@ -179,7 +179,7 @@ FROM documents
     doc="whitespace + BPE-ish token counts per doc",
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select(
+    return load_spread(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
         .cast("long").alias("ws_tokens"),
@@ -203,6 +203,6 @@ FROM documents
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return load(spark, sf_dir, "documents").select(
+    return load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.sha2(norm, 256).alias("fingerprint")
     )

@@ -64,3 +64,18 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str):
+    """load() + repartition to the session's parallelism.
+
+    The driver testdata tables are SINGLE parquet files with one row
+    group, so Spark scans them as ONE partition — every downstream
+    CPU-heavy stage (regex forests, keyword folds, shingling, pandas
+    UDFs) would run on one core.  An explicit round-robin repartition
+    of the few-MB input costs microseconds and unlocks all cores.  At
+    100 TB this is a no-op concern: real tables have thousands of
+    splits, and this repartition would simply be omitted (or bounded
+    by `spark.sql.files.maxPartitionBytes`)."""
+    df = load(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
