@@ -56,6 +56,7 @@ from .constants import (
 )
 from .oracle import is_valid_onion_py
 from .seen import anti_join_with_bloom, build_bloom
+from .seq import attach_global_seq
 from .storage import SnapshotStore
 from .synth import FETCH_SCHEMA, SynthConfig, make_fetch_stage
 from .urlnorm import (
@@ -66,6 +67,7 @@ from .urlnorm import (
     is_junk_href,
     is_valid_onion,
     url_hash64,
+    url_path,
     urljoin_udf,
 )
 
@@ -105,7 +107,7 @@ PAGES_SCHEMA = (
     "links_found int, site string, crawled_at double"
 )
 METRICS_SCHEMA = (
-    "run_id string, round int, partition_id int, pages_crawled long, "
+    "run_id string, round int, depth int, partition_id int, pages_crawled long, "
     "pages_failed long, pages_skipped long, pages_deduplicated long"
 )
 # one row per (host, disallow prefix); a host with an empty robots.txt
@@ -155,6 +157,22 @@ def run_crawl(
     manifest = store.load_manifest() if resume_from else None
     init_seen_pending = None   # folded into round-0's seen delta
     if manifest is not None:
+        if known_urls:
+            raise ValueError(
+                "known_urls cannot be combined with resume_from: the seen "
+                "set is restored from the snapshot"
+            )
+        if manifest.get("synth_seed") != synth_cfg.seed:
+            raise ValueError(
+                f"resume seed mismatch: snapshot was written with synth seed "
+                f"{manifest.get('synth_seed')}, resuming with {synth_cfg.seed}"
+            )
+        for fld in ("max_depth", "max_pages"):
+            if fld in manifest and manifest[fld] != getattr(cfg, fld):
+                raise ValueError(
+                    f"resume config mismatch: snapshot {fld}={manifest[fld]}, "
+                    f"resuming with {getattr(cfg, fld)}"
+                )
         start_round = manifest["round"] + 1
         counts = {int(k): v for k, v in manifest["counts"].items()}
         pops = {int(k): v for k, v in manifest["pops"].items()}
@@ -186,8 +204,16 @@ def run_crawl(
 
     # In parity mode (host_tokens_per_round=None) one round == one BFS depth.
     # In politeness mode, token-deferred rows re-enter the frontier at the
-    # same depth, so a depth can span several rounds.
-    max_rounds = (cfg.max_depth + 1) * (50 if cfg.host_tokens_per_round else 1)
+    # same depth, so a depth can span several rounds.  NOTE `is not None`:
+    # tokens=0 would be falsy AND defer every candidate forever, so it is
+    # rejected outright.
+    if cfg.host_tokens_per_round is not None and cfg.host_tokens_per_round <= 0:
+        raise ValueError(
+            f"host_tokens_per_round must be positive, got {cfg.host_tokens_per_round}"
+        )
+    max_rounds = (cfg.max_depth + 1) * \
+        (50 if cfg.host_tokens_per_round is not None else 1)
+    frontier_exhausted = False
     round_no = start_round
     while round_no < max_rounds:
         # ---- candidate selection -----------------------------------------
@@ -195,6 +221,7 @@ def run_crawl(
         live = frontier.filter(F.col("seed_id").isin(active))
         head = live.agg(F.min("depth").alias("d")).collect()[0]["d"]
         if head is None:
+            frontier_exhausted = True
             break
         depth = int(head)
         cand = live.filter(F.col("depth") == depth) \
@@ -266,7 +293,9 @@ def run_crawl(
             robots_table = None
 
         if robots_table is not None:
-            path_col = F.regexp_extract("canon_url", r"^https?://[^/]+(/.*)?$", 1)
+            # url_path excludes query+fragment, keeping the robots prefix
+            # check consistent with is_blacklisted (ADVICE r1)
+            path_col = url_path(F.col("canon_url"))
             hit = (
                 cand.withColumn("__path", path_col)
                 .join(F.broadcast(robots_table), "host", "left")
@@ -433,7 +462,8 @@ def run_crawl(
             )
             .select(
                 F.lit(cfg.run_id).alias("run_id"),
-                F.lit(depth).alias("round"),
+                F.lit(round_no).alias("round"),
+                F.lit(depth).alias("depth"),
                 F.col("fetch_partition").alias("partition_id"),
                 "pages_crawled", "pages_failed", "pages_skipped",
                 "pages_deduplicated",
@@ -475,6 +505,8 @@ def run_crawl(
             "round": round_no,
             "depth": depth,
             "run_id": cfg.run_id,
+            "max_depth": cfg.max_depth,
+            "max_pages": cfg.max_pages,
             "n_seeds": n_seeds,
             "counts": {str(k): v for k, v in counts.items()},
             "pops": {str(k): v for k, v in pops.items()},
@@ -484,14 +516,33 @@ def run_crawl(
         if cfg.stop_after_round is not None and round_no > cfg.stop_after_round:
             break   # interruption: partial state is committed (cli.py:292-295)
 
+    # the hard round cap must never silently truncate a politeness crawl:
+    # deferred rows still in the frontier at exit mean lost coverage
+    if (not frontier_exhausted and cfg.stop_after_round is None
+            and round_no >= max_rounds):
+        active = [s for s in range(n_seeds) if counts[s] < cfg.max_pages]
+        leftover_n = frontier.filter(F.col("seed_id").isin(active)).count()
+        if leftover_n > 0:
+            import warnings
+
+            warnings.warn(
+                f"crawl exited at max_rounds={max_rounds} with {leftover_n} "
+                "frontier rows still pending (politeness deferral exceeded "
+                "the round budget); results are truncated",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
     # accumulated outputs from the per-round delta files
     last = round_no - 1
     pages = store.read_deltas(spark, "pages", PAGES_SCHEMA, last)
     metrics = store.read_deltas(spark, "metrics", METRICS_SCHEMA, last)
 
-    # canonical global sequence (SURVEY §3.1): (depth, canon_url, seed_id)
-    w_seq = Window.orderBy("depth", "url", "seed_id")
-    pages_final = pages.withColumn("seq", F.row_number().over(w_seq))
+    # canonical global sequence (SURVEY §3.1): (depth, canon_url, seed_id),
+    # assigned scalably — range-partitioned local numbering + broadcast
+    # offsets instead of a single-task global window (VERDICT r1 #1)
+    pages_final = attach_global_seq(pages, ["depth", "url", "seed_id"], "seq") \
+        .withColumn("seq", F.col("seq").cast("int"))
     stats = {
         "sites_crawled": n_seeds,
         **{

@@ -13,13 +13,19 @@ from .synth import SynthConfig, seed_urls
 
 _SYNTH = SynthConfig(n_hosts=4, pages_per_host=20)
 _CFG = CrawlConfig(max_depth=2, max_pages=15)
-_MEMO: dict[int, object] = {}
+_MEMO: dict[str, object] = {}
+_MEMO_CAP = 4
 
 
 def _crawl(spark: SparkSession):
-    # memoized per session: crawl_bfs and crawl_metrics share one run
-    key = id(spark)
+    # memoized per session: crawl_bfs and crawl_metrics share one run.
+    # Keyed by applicationId (stable for a live session, never reused the
+    # way id() can be after GC — ADVICE r1) and capped so a long-lived
+    # driver process can't grow it unboundedly.
+    key = spark.sparkContext.applicationId
     if key not in _MEMO:
+        if len(_MEMO) >= _MEMO_CAP:
+            _MEMO.clear()
         _MEMO[key] = run_crawl(spark, seed_urls(_SYNTH), _SYNTH, _CFG)
     return _MEMO[key]
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import intel, sqlgen
-from .constants import CATEGORY_ORDER
+from .constants import CATEGORY_ORDER, IOC_LIST_FIELDS
 from .enrich import enriched_text_spark, enriched_text_sql
 from .registry import register
 from .session import load, load_spread
@@ -258,9 +258,7 @@ def o1_high_risk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ioc_extract_sql() -> str:
     cols = ",\n       ".join(
         f"{sqlgen.sql_join_arr(sqlgen.sql_ioc_array('text', t))} AS {t}"
-        for t in (
-            "ipv4", "emails", "md5", "cves", "onion_addresses", "domains", "urls"
-        )
+        for t in IOC_LIST_FIELDS
     )
     return f"""
 SELECT doc_id,
@@ -274,13 +272,14 @@ FROM {_DOCS_SQL}
 @register(
     "x_ioc_extract",
     oracle=_ioc_extract_sql(),
-    doc="per-doc IOC arrays (joined) + pgp + total — intelligence.py:239-271",
+    doc="per-doc IOC arrays, ALL 11 types (joined) + pgp + total — "
+        "intelligence.py:239-271",
     bench=True,
 )
 def x_ioc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = intel.with_iocs(_docs(spark, sf_dir))
     out = [F.col("doc_id")]
-    for t in ("ipv4", "emails", "md5", "cves", "onion_addresses", "domains", "urls"):
+    for t in IOC_LIST_FIELDS:
         out.append(F.array_join(F.col(t), "|").alias(t))
     out.append(F.col("pgp_present"))
     out.append(F.col("ioc_total").cast("long").alias("ioc_total"))

@@ -79,6 +79,64 @@ def test_politeness_token_bucket(spark):
     assert parity.stats == polite.stats
 
 
+def test_politeness_bad_tokens_rejected(spark):
+    """tokens<=0 would defer every candidate forever (ADVICE r1)."""
+    import pytest
+
+    synth = SynthConfig(n_hosts=2, pages_per_host=5)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="host_tokens_per_round"):
+            run_crawl(spark, seed_urls(synth), synth,
+                      CrawlConfig(host_tokens_per_round=bad))
+
+
+def test_resume_mismatch_rejected(spark):
+    """Resume must validate snapshot seed/config; known_urls is
+    incompatible with resume (ADVICE r1)."""
+    import pytest
+
+    synth = SynthConfig(n_hosts=2, pages_per_host=8)
+    seeds = seed_urls(synth)
+    root = tempfile.mkdtemp(prefix="resume_guard_")
+    run_crawl(spark, seeds, synth,
+              CrawlConfig(max_depth=1, max_pages=10, checkpoint_dir=root,
+                          stop_after_round=0))
+    with pytest.raises(ValueError, match="seed mismatch"):
+        run_crawl(spark, seeds, SynthConfig(n_hosts=2, pages_per_host=8,
+                                            seed=synth.seed + 1),
+                  CrawlConfig(max_depth=1, max_pages=10), resume_from=root)
+    with pytest.raises(ValueError, match="max_pages"):
+        run_crawl(spark, seeds, synth,
+                  CrawlConfig(max_depth=1, max_pages=99), resume_from=root)
+    with pytest.raises(ValueError, match="known_urls"):
+        run_crawl(spark, seeds, synth,
+                  CrawlConfig(max_depth=1, max_pages=10),
+                  known_urls=["http://" + host_name(0, synth.seed) + "/x"],
+                  resume_from=root)
+
+
+def test_global_seq_matches_window(spark):
+    """attach_global_seq == row_number over a global ORDER BY window."""
+    from pyspark.sql.window import Window
+
+    from sparkharvester.seq import attach_global_seq
+
+    rows = [(i % 7, f"k{i % 13:02d}-{i:04d}", i % 3) for i in range(997)]
+    df = spark.createDataFrame(rows, "a int, b string, c int").repartition(16)
+    expected = {
+        (r["a"], r["b"], r["c"]): r["seq"]
+        for r in df.withColumn(
+            "seq", F.row_number().over(Window.orderBy("c", "b", "a"))
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"], r["c"]): r["seq"]
+        for r in attach_global_seq(df, ["c", "b", "a"], "seq",
+                                   num_partitions=11).collect()
+    }
+    assert got == expected
+
+
 def test_robots_gating(spark):
     """robots.txt cache table (north rule): disallowed path prefixes are
     never fetched and count as skipped, like the blacklist (F2)."""
@@ -146,14 +204,16 @@ def test_metrics_lineage(spark):
     synth = SynthConfig(n_hosts=3, pages_per_host=10)
     seeds = seed_urls(synth)
     eng = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=20))
-    per_round = {
-        r["round"]: r["n"]
-        for r in eng.metrics.groupBy("round")
+    per_depth = {
+        r["depth"]: r["n"]
+        for r in eng.metrics.groupBy("depth")
         .agg(F.sum("pages_crawled").alias("n")).collect()
     }
     pages_per_depth = {
         r["depth"]: r["n"]
         for r in eng.pages.groupBy("depth").agg(F.count("*").alias("n")).collect()
     }
-    assert per_round == pages_per_depth
+    assert per_depth == pages_per_depth
+    # in parity mode one round per depth, so round == depth per row
+    assert eng.metrics.filter(F.col("round") != F.col("depth")).count() == 0
     assert eng.metrics.filter(F.col("run_id").isNull()).count() == 0
