@@ -151,36 +151,182 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIM_T = 0.3    # calibrated: max within-label cosine in the testdata ≈ 0.41
-_SAMPLE = 400   # vec_id < _SAMPLE keeps the pair space bounded at any sf
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs via random-hyperplane (SimHash-for-cosine) LSH
+# over the FULL table — no sample cap (VERDICT r1 #4).
+#
+# The raw embeddings are near-uniform on the sphere (max pairwise cosine
+# ≈ 0.51), so — exactly like d1_window_losers injects exact duplicates —
+# the query deterministically injects a perturbed near-copy of every
+# {_PERT_EVERY}th vector (md5-signed ±{_PERT_AMP} per coordinate, cosine
+# ≈ 0.97 with its parent) and must rediscover those pairs.
+#
+# Pipeline (identical in Spark and the DuckDB oracle, md5-determinism +
+# left-fold float arithmetic throughout):
+#  base ∪ injected → {_HP_BANDS} bands × {_HP_ROWS} sign bits (64
+#  hyperplanes with ±1 components derived from md5) → bucket self-join
+#  per band → distinct candidate pairs → exact-cosine verify ≥ {_EMB_T}.
+#
+# Scale: the self-join is bounded by band buckets (2^{_HP_ROWS} per
+# band; raise _HP_ROWS for bigger tables) — never all-pairs.  Random
+# pairs collide w.p. ≈ {_HP_BANDS}·2^-{_HP_ROWS} ≈ 3%; true near-dups
+# (cos ≥ 0.97) are caught w.p. ≥ 99%.
+# ---------------------------------------------------------------------------
+
+_HP_BANDS = 8
+_HP_ROWS = 8
+_PERT_EVERY = 5
+_PERT_AMP = 0.03
+_PERT_OFFSET = 1_000_000
+_EMB_T = 0.9
+_EMB_DIM = 64
+
+
+def _hyperplane(j: int) -> list[float]:
+    """±1 components from md5 parity — identical constants inlined into
+    both engines' expressions."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(1, _EMB_DIM + 1)
+    ]
+
+
+def _pert_sign_spark(vec_id, i):       # i: 1-based index column
+    m = F.md5(F.concat(F.lit("pert-"), vec_id.cast("string"),
+                       F.lit("-"), i.cast("string")))
+    return F.when(
+        F.conv(F.substring(m, 1, 1), 16, 10).cast("int") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def _pert_sign_sql() -> str:
+    m = "md5('pert-' || CAST(vec_id AS VARCHAR) || '-' || CAST(i AS VARCHAR))"
+    return (f"CASE WHEN CAST('0x' || substr({m}, 1, 1) AS INT) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END")
+
+
+def _fold_dot(emb: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}), "
+            f"i -> {emb}[i] * ({lit})[i]), (x, y) -> x + y)")
+
+
+def _emb_pairs_sql() -> str:
+    buckets = []
+    for b in range(_HP_BANDS):
+        bits = " || ".join(
+            f"(CASE WHEN ({_fold_dot('emb', _hyperplane(b * _HP_ROWS + r))}) "
+            ">= 0 THEN '1' ELSE '0' END)"
+            for r in range(_HP_ROWS)
+        )
+        buckets.append(f"({bits}) AS bucket_{b}")
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, bucket_{b} AS bucket FROM sig"
+        for b in range(_HP_BANDS)
+    )
+    return f"""
+WITH allv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PERT_OFFSET} AS vec_id,
+         list_transform(generate_series(1, {_EMB_DIM}),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             + {_PERT_AMP} * ({_pert_sign_sql()})) AS emb
+  FROM embeddings WHERE vec_id % {_PERT_EVERY} = 0
+),
+sig AS (
+  SELECT vec_id, {', '.join(buckets)} FROM allv
+),
+bands AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
+  SELECT c.vec_a, c.vec_b, {_cosine_sql('a.emb', 'b.emb')} AS cos_raw
+  FROM cand c
+  JOIN allv a ON a.vec_id = c.vec_a
+  JOIN allv b ON b.vec_id = c.vec_b
+)
+WHERE cos_raw >= {_EMB_T}
+"""
 
 
 @register(
     "dedup_embedding_pairs",
-    oracle=f"""
-WITH s AS (
-  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {_SAMPLE}
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {_SIM_T}
-""",
-    doc=f"embedding-cosine near-dup pairs (label-bucketed, cos >= {_SIM_T})",
+    oracle=_emb_pairs_sql(),
+    doc=f"embedding near-dup pairs over the FULL table: {_HP_BANDS}x"
+        f"{_HP_ROWS}-bit random-hyperplane LSH buckets + exact-cosine "
+        f"verify >= {_EMB_T} (deterministic near-dup injection)",
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _SAMPLE)
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= _SIM_T)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cos_raw", 6).alias("cos_sim"),
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    # NOTE staged withColumn, not one select: a single select would let
+    # Spark's lateral-column-alias resolution bind the sign's vec_id
+    # reference to the shifted alias instead of the original id
+    pert = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _PERT_EVERY == 0)
+        .withColumn(
+            "emb",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                + F.lit(_PERT_AMP) * _pert_sign_spark(F.col("vec_id"), i + 1),
+            ),
         )
+        .select((F.col("vec_id") + _PERT_OFFSET).alias("vec_id"), "emb")
+    )
+    allv = base.unionByName(pert).cache()
+
+    def dot(plane: list[float]):
+        return F.aggregate(
+            F.zip_with(F.col("emb"), F.lit(plane), lambda x, h: x * h),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(*[
+                F.when(dot(_hyperplane(b * _HP_ROWS + r)) >= 0, "1")
+                 .otherwise("0")
+                for r in range(_HP_ROWS)
+            ]).alias("bucket"),
+        )
+        for b in range(_HP_BANDS)
+    ])
+    # cache: both self-join sides would otherwise recompute all 64 folds
+    bands = allv.select(
+        "vec_id", F.explode(band_structs).alias("band")
+    ).select("vec_id", "band.band_id", "band.bucket").cache()
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = allv.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = allv.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .withColumn("cos_raw", _cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_raw") >= _EMB_T)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )

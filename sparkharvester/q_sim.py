@@ -4,22 +4,22 @@
    vector, with a DuckDB oracle.  Dot products are computed as an
    explicit LEFT FOLD in index order on BOTH engines so doubles are
    bit-identical (IEEE ops are deterministic given operand order).
- - ``sim_ivf_ann`` — IVF-style bucketed ANN: per-label pivot vectors
-   (embedding of min vec_id per label) act as centroids; each vector is
-   assigned to its nearest pivot, and the query searches only its own
-   bucket.  The scale path: at 10^9 vectors the bucket assignment is a
-   broadcast join against K pivots (tiny), and search fans to one
-   bucket — a partition-pruned scan instead of a full sweep.
+ - ``sim_ivf_ann`` — a real IVF index: deterministic k-means-lite
+   centroids (md5-seeded init, fixed Lloyd iterations), assignment as
+   a broadcast-closure pandas UDF, search over the ``nprobe`` nearest
+   buckets only.  Recall vs the brute-force baseline is asserted in
+   tests/test_ivf.py (recall@20 >= 0.9 with nprobe=2).
 
 Scale notes: brute force is scan + codegen fold + top-k (TakeOrdered,
-no full sort).  No shuffle except the final k-row collect.  IVF adds
-one broadcast join; never a shuffle of the big side.
+no full sort).  No shuffle except the final k-row collect.  IVF moves
+only K×DIM doubles through the driver per iteration and assigns via a
+zero-shuffle map stage; a probe is a partition-pruned scan when the
+index table is written partitioned by bucket.
 """
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .registry import register
 from .session import load
@@ -82,40 +82,135 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF index: deterministic k-means-lite (seeded init, fixed iterations)
+# ---------------------------------------------------------------------------
+# Scale shape (10^9 vectors, 1000 executors):
+#  - init + per-iteration centroid refresh move only K×DIM doubles through
+#    the driver (K-bounded, never data-bounded — the standard Spark k-means
+#    control loop);
+#  - assignment is a broadcast-closure pandas UDF (one numpy matmul per
+#    Arrow batch): a pure map stage, no shuffle;
+#  - the refresh is ONE groupBy(K).avg over DIM columns (map-side combined);
+#  - a query probes `nprobe` buckets: a partition-pruned scan when the
+#    index is written bucket-partitioned, instead of a full sweep.
+
+IVF_K = 8
+IVF_ITERS = 3
+IVF_NPROBE = 2
+
+
+def _assign_udf(centroids):
+    """pandas UDF: embedding -> nearest-centroid bucket (cosine argmax,
+    ties to the lowest bucket id).  *centroids* is a row-normalized
+    numpy (K, DIM) array captured in the closure (broadcast by Spark
+    with the serialized UDF — K×DIM doubles, tiny)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(embs):
+        import pandas as pd
+
+        X = np.vstack(embs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(C @ X.T, axis=0).astype("int32"),
+                         index=embs.index)
+
+    return pandas_udf(assign, "int")
+
+
+def ivf_fit(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
+    """Deterministic k-means-lite: returns a row-normalized numpy (k, DIM)
+    centroid matrix.
+
+    Seeded init: the k vectors whose md5(vec_id) hex digests sort first
+    (uniform pseudo-random, reproducible, no RNG state).  Fixed *iters*
+    Lloyd rounds; an emptied bucket keeps its previous centroid."""
+    import numpy as np
+
+    init = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__r", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    C = np.array([list(r["embedding"]) for r in init], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assigned = emb.select(
+            _assign_udf(C)(F.col("embedding")).alias("bucket"), "embedding"
+        )
+        means = (
+            assigned.groupBy("bucket")
+            .agg(*[
+                F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        C = C.copy()
+        for r in means:
+            v = np.array([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                C[r["bucket"]] = v / n
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """Append the final `bucket` column (pure map stage)."""
+    return emb.withColumn("bucket", _assign_udf(centroids)(F.col("embedding")))
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids,
+    query_vec,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine within the *nprobe* buckets nearest the query."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(b) for b in np.argsort(-(C @ q))[:nprobe]]
+
+    qv = F.lit([float(x) for x in query_vec])
+    out = assigned.filter(F.col("bucket").isin(probes))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
 @register(
     "sim_ivf_ann",
-    oracle=None,  # iterative pivot assignment — rows-only check
-    doc="IVF-bucketed ANN: nearest-pivot bucket assignment + in-bucket top-k",
+    oracle=None,  # iterative float k-means — recall vs brute force is
+                  # asserted in tests/test_ivf.py instead of a SQL oracle
+    doc=f"IVF ANN: k-means-lite(K={IVF_K}, {IVF_ITERS} iters, md5-seeded "
+        f"init), nprobe={IVF_NPROBE} bucket probe + in-bucket top-{TOP_K}",
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    # per-label pivots: embedding of min vec_id per label (deterministic,
-    # order-independent — unlike a float-sum centroid)
-    w = F.row_number().over(Window.partitionBy("label").orderBy("vec_id"))
-    pivots = (
-        emb.withColumn("rn", w).filter(F.col("rn") == 1)
-        .select(F.col("label").alias("p_label"), F.col("embedding").alias("p_emb"))
-    )
-    # assign every vector to its nearest pivot (broadcast join vs K pivots)
-    joined = emb.join(F.broadcast(pivots)).withColumn(
-        "sim", _cosine(F.col("embedding"), F.col("p_emb"))
-    )
-    best = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("p_label"))
-    )
-    assigned = joined.withColumn("rn", best).filter(F.col("rn") == 1) \
-                     .select("vec_id", "label", "embedding",
-                             F.col("p_label").alias("bucket"))
-    # query = pivot of bucket 0; search only bucket 0 (the IVF probe)
-    q = assigned.filter(F.col("bucket") == 0) \
-                .orderBy("vec_id").limit(1).collect()
-    if not q:
-        return assigned.limit(0).select("vec_id", F.lit(0.0).alias("cos_sim"))
-    qv = F.lit([float(x) for x in q[0]["embedding"]])
-    return (
-        assigned.filter((F.col("bucket") == 0) & (F.col("vec_id") != int(q[0]["vec_id"])))
-        .select("vec_id",
-                F.round(_cosine(F.col("embedding"), qv), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(TOP_K)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = ivf_fit(emb)
+    assigned = ivf_assign(emb, centroids)
+    pivot = emb.orderBy("vec_id").limit(1).collect()[0]
+    return ivf_search(
+        assigned, centroids, list(pivot["embedding"]),
+        exclude_vec_id=int(pivot["vec_id"]),
     )
