@@ -20,17 +20,23 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Flags default to None = "not passed": the layered config
+    (sparkharvester.config: defaults < YAML < env < flags) resolves the
+    effective value, so a YAML/env setting is only overridden when the
+    flag is given explicitly."""
     p = argparse.ArgumentParser("sparkharvester")
-    p.add_argument("--hosts", type=int, default=3)
-    p.add_argument("--pages-per-host", type=int, default=40)
-    p.add_argument("--max-depth", type=int, default=2)
-    p.add_argument("--max-pages", type=int, default=20)
-    p.add_argument("--crawl-delay", type=float, default=7.0)
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--bloom", action="store_true")
+    p.add_argument("--config", default=None,
+                   help="YAML config file (see sparkharvester/config.py)")
+    p.add_argument("--hosts", type=int, default=None)
+    p.add_argument("--pages-per-host", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--max-pages", type=int, default=None)
+    p.add_argument("--crawl-delay", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--bloom", action="store_const", const=True, default=None)
     p.add_argument("--host-tokens", type=int, default=None)
     p.add_argument("--resume", default=None, help="snapshot root to resume from")
-    p.add_argument("--out", default="results")
+    p.add_argument("--out", default=None)
     p.add_argument("--cpus", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "8")))
     p.add_argument("--report", action="store_true", help="render HTML report")
@@ -42,11 +48,12 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from .frontier import CrawlConfig, run_crawl
+    from .config import load_config
+    from .frontier import run_crawl
     from .report import analyze_pages, build_aggregates, render_html
     from .session import get_spark
     from .storage import save_all
-    from .synth import SynthConfig, seed_urls
+    from .synth import seed_urls
 
     # only stop the session on exit if WE created it (embedders/tests may
     # pass in a live session via getOrCreate reuse)
@@ -55,26 +62,34 @@ def main(argv: list[str] | None = None) -> int:
                       shuffle_partitions=max(args.cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    synth = SynthConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host,
-                        seed=args.seed)
-    cfg = CrawlConfig(
-        max_depth=args.max_depth, max_pages=args.max_pages,
-        crawl_delay=args.crawl_delay, use_bloom=args.bloom,
-        host_tokens_per_round=args.host_tokens,
-        checkpoint_dir=os.path.join(args.out, "snapshots"),
-    )
+    settings = load_config(args.config, flag_overrides={
+        "synth.n_hosts": args.hosts,
+        "synth.pages_per_host": args.pages_per_host,
+        "synth.seed": args.seed,
+        "crawler.max_depth": args.max_depth,
+        "crawler.max_pages": args.max_pages,
+        "crawler.crawl_delay": args.crawl_delay,
+        "crawler.use_bloom": args.bloom,
+        "crawler.host_tokens_per_round": args.host_tokens,
+        "storage.output_dir": args.out,
+    })
+    synth = settings.synth
+    cfg = settings.crawler
+    out_dir = settings.storage.output_dir
+    cfg.checkpoint_dir = os.path.join(out_dir, "snapshots")
+    seeds = settings.seed_urls or seed_urls(synth)
+
     t0 = time.monotonic()
-    eng = run_crawl(spark, seed_urls(synth), synth, cfg,
-                    resume_from=args.resume)
+    eng = run_crawl(spark, seeds, synth, cfg, resume_from=args.resume)
     elapsed = time.monotonic() - t0
 
-    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     enriched = analyze_pages(eng.pages)
-    paths = save_all(eng.pages, args.out)
+    paths = save_all(eng.pages, out_dir)
     if args.report:
         aggs = build_aggregates(enriched)
         paths["report"] = render_html(
-            aggs, os.path.join(args.out, "report.html"))
+            aggs, os.path.join(out_dir, "report.html"))
 
     summary = {
         "elapsed_sec": round(elapsed, 3),

@@ -5,11 +5,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from .enrich import synth_url_spark, synth_url_sql
 from .frontier import CrawlConfig, run_crawl
 from .images import check_invariants, make_images_df
 from .registry import register
+from .session import load
 from .synth import SynthConfig, seed_urls
+from .urlnorm import (
+    canonicalize_expr,
+    canonicalize_sql,
+    is_blacklisted,
+    is_blacklisted_sql,
+    is_junk_href,
+    is_junk_href_sql,
+    is_valid_onion,
+    is_valid_onion_sql,
+)
 
 _SYNTH = SynthConfig(n_hosts=4, pages_per_host=20)
 _CFG = CrawlConfig(max_depth=2, max_pages=15)
@@ -58,6 +71,159 @@ def crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pages_deduplicated").alias("pages_deduplicated"),
         F.countDistinct("partition_id").alias("n_partitions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One materialized BFS round, oracle-checked (VERDICT r1 #10): the exact
+# gate pipeline of frontier.py for a single round — candidates → seen
+# anti-join → per-host politeness window → blacklist → (deterministic
+# md5 fetch outcome) → content-dedup window → per-seed pop-cap window —
+# expressed over documents-derived URLs so DuckDB can replay it.  The
+# opaque pandas fetch is replaced by the same md5 arithmetic the synth
+# generator uses (synth.py:69-82), keeping every gate SQL-expressible.
+# ---------------------------------------------------------------------------
+
+_RG_SEEDS = 4      # candidate rows spread over this many seed crawls
+_RG_TOKENS = 3     # per-host politeness budget (frontier.py:258-267)
+_RG_CAP = 10       # per-seed page cap (frontier.py:382-403)
+
+
+def _rg_sql() -> str:
+    h_fetch = ("(CAST('0x' || substr(md5('fetch/' || canon_url), 1, 15) "
+               "AS BIGINT))")
+    h_dup = ("(CAST('0x' || substr(md5('dup/' || canon_url), 1, 15) "
+             "AS BIGINT))")
+    return f"""
+WITH urls AS (
+  SELECT doc_id % {_RG_SEEDS} AS seed_id, {synth_url_sql()} AS url, doc_id
+  FROM documents
+),
+cand0 AS (
+  SELECT DISTINCT seed_id, {canonicalize_sql('url')} AS canon_url
+  FROM urls
+  WHERE NOT {is_junk_href_sql('url')} AND {is_valid_onion_sql('url')}
+),
+seen AS (
+  SELECT DISTINCT seed_id, {canonicalize_sql('url')} AS canon_url
+  FROM urls WHERE doc_id % 7 = 0 AND {is_valid_onion_sql('url')}
+),
+gated AS (
+  SELECT c.seed_id, c.canon_url,
+         regexp_extract(c.canon_url, '^https?://([^/]+)', 1) AS host
+  FROM cand0 c
+  WHERE NOT EXISTS (SELECT 1 FROM seen s
+                    WHERE s.seed_id = c.seed_id
+                      AND s.canon_url = c.canon_url)
+),
+adm AS (
+  SELECT *, (row_number() OVER (PARTITION BY host
+                                ORDER BY canon_url, seed_id))
+            <= {_RG_TOKENS} AS admitted
+  FROM gated
+),
+flags AS (
+  SELECT *,
+         {is_blacklisted_sql('canon_url')} AS blacklisted,
+         ({h_fetch} % 100) >= 5 AS ok,
+         {h_dup} AS hd
+  FROM adm
+),
+hashed AS (
+  SELECT *,
+         CASE WHEN admitted AND ok AND NOT blacklisted THEN
+           sha256(CASE WHEN hd % 100 < 20
+                       THEN 'shared dup ' || CAST(hd % 7 AS VARCHAR)
+                       ELSE 'unique ' || canon_url END)
+         END AS content_hash
+  FROM flags
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash
+                               ORDER BY canon_url, seed_id) AS rn
+  FROM hashed
+),
+dd2 AS (
+  SELECT *, (admitted AND ok AND NOT blacklisted AND rn > 1) AS is_dup
+  FROM dd
+),
+fin AS (
+  SELECT *, coalesce(sum(CASE WHEN admitted AND ok AND NOT blacklisted
+                               AND NOT is_dup THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY seed_id ORDER BY canon_url
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_before
+  FROM dd2
+)
+SELECT seed_id, canon_url, host, admitted, blacklisted, ok, is_dup,
+       (admitted AND cum_before < {_RG_CAP}) AS popped
+FROM fin
+"""
+
+
+@register(
+    "crawl_round_gates",
+    oracle=_rg_sql(),
+    doc="one materialized BFS round: candidate/seen/politeness/blacklist/"
+        "dedup/cap gate trace, oracle-replayable (frontier.py semantics, "
+        "crawler.py:214-273 analog)",
+)
+def crawl_round_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = load(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), _RG_SEEDS).cast("int").alias("seed_id"),
+        synth_url_spark(F.col("doc_id")).alias("url"),
+        "doc_id",
+    )
+    cand = (
+        urls.filter(~is_junk_href(F.col("url")) & is_valid_onion(F.col("url")))
+        .select("seed_id", canonicalize_expr(F.col("url")).alias("canon_url"))
+        .distinct()                                           # F3+F1 → X1 → D7
+    )
+    seen = (
+        urls.filter((F.col("doc_id") % 7 == 0) & is_valid_onion(F.col("url")))
+        .select("seed_id", canonicalize_expr(F.col("url")).alias("canon_url"))
+        .distinct()
+    )
+    cand = cand.join(seen, ["seed_id", "canon_url"], "left_anti")  # F6/D2
+    cand = cand.withColumn(
+        "host", F.regexp_extract("canon_url", r"^https?://([^/]+)", 1)
+    )
+    w_host = Window.partitionBy("host").orderBy("canon_url", "seed_id")
+    cand = cand.withColumn(
+        "admitted", F.row_number().over(w_host) <= _RG_TOKENS   # I4 bucket
+    ).withColumn("blacklisted", is_blacklisted(F.col("canon_url")))  # F2
+
+    def _h(prefix: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("canon_url"))),
+                        1, 15), 16, 10,
+        ).cast("long")
+
+    cand = cand.withColumn("ok", (_h("fetch/") % 100) >= 5) \
+               .withColumn("hd", _h("dup/"))
+    eligible = F.col("admitted") & F.col("ok") & ~F.col("blacklisted")
+    text = F.when(
+        F.col("hd") % 100 < 20,
+        F.concat(F.lit("shared dup "), (F.col("hd") % 7).cast("string")),
+    ).otherwise(F.concat(F.lit("unique "), F.col("canon_url")))
+    cand = cand.withColumn(
+        "content_hash", F.when(eligible, F.sha2(text, 256))     # X4
+    )
+    w_hash = Window.partitionBy("content_hash").orderBy("canon_url", "seed_id")
+    cand = cand.withColumn("rn", F.row_number().over(w_hash)) \
+               .withColumn("is_dup", eligible & (F.col("rn") > 1))   # D1
+    success = eligible & ~F.col("is_dup")
+    w_seed = Window.partitionBy("seed_id").orderBy("canon_url")
+    cand = cand.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum(success.cast("int")).over(
+                w_seed.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("popped", F.col("admitted") & (F.col("cum_before") < _RG_CAP))
+    return cand.select("seed_id", "canon_url", "host", "admitted",
+                       "blacklisted", "ok", "is_dup", "popped")
 
 
 @register(

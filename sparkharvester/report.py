@@ -15,7 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .constants import IOC_LIST_FIELDS
 from .intel import risk_label_expr, with_intel
+
+# display titles for the per-type IOC registry sections
+# (report.py:470-489: the reference renders per-type tables; this render
+# covers ALL 11 extracted types, a superset of the reference's 7)
+IOC_TITLES = {
+    "ipv4": "IPv4 Addresses",
+    "emails": "Email Addresses",
+    "md5": "MD5 Hashes",
+    "sha1": "SHA-1 Hashes",
+    "sha256": "SHA-256 Hashes",
+    "cves": "CVE References",
+    "btc_addresses": "Bitcoin Addresses",
+    "xmr_addresses": "Monero Addresses",
+    "onion_addresses": "Hidden Service References",
+    "domains": "Domains",
+    "urls": "URLs",
+}
 
 
 @dataclass
@@ -25,7 +43,8 @@ class ReportAggregates:
     site_rollup: DataFrame         # A7/A8
     top_categories: DataFrame      # A3/O4
     high_risk_topk: DataFrame      # O1/F8
-    global_iocs: DataFrame         # D6/O7
+    global_iocs: DataFrame         # D6/O7 — ALL 11 types, capped per type
+    keyword_hits: DataFrame        # X20 rollup: hits + page count per category
 
 
 def build_aggregates(pages_with_intel: DataFrame, top_k: int = 50,
@@ -79,27 +98,31 @@ def build_aggregates(pages_with_intel: DataFrame, top_k: int = 50,
                 "categories", "ioc_total")
     )
 
+    # one stacked (type, value) table for ALL 11 IOC types; per-type
+    # distinct + total count + sorted cap (report.py:470-489: "showing
+    # first 100 of N")
+    typed = None
+    for t in IOC_LIST_FIELDS:
+        part = df.select(F.explode(t).alias("value")) \
+                 .withColumn("ioc_type", F.lit(t))
+        typed = part if typed is None else typed.unionByName(part)
+    w_type = Window.partitionBy("ioc_type")
     global_iocs = (
-        df.select(F.explode("emails").alias("value"))
-        .withColumn("ioc_type", F.lit("email"))
-        .unionByName(
-            df.select(F.explode("ipv4").alias("value"))
-            .withColumn("ioc_type", F.lit("ipv4")))
-        .unionByName(
-            df.select(F.explode("cves").alias("value"))
-            .withColumn("ioc_type", F.lit("cve")))
-        .unionByName(
-            df.select(F.explode("btc_addresses").alias("value"))
-            .withColumn("ioc_type", F.lit("btc")))
-        .distinct()
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("ioc_type").orderBy("value")
-            ),
-        )
+        typed.distinct()
+        .withColumn("n_total", F.count("*").over(w_type))
+        .withColumn("rn", F.row_number().over(w_type.orderBy("value")))
         .filter(F.col("rn") <= ioc_cap)
         .drop("rn")
+    )
+
+    keyword_hits = (
+        df.select(F.explode("keyword_hits").alias("category", "hits"))
+        .groupBy("category")
+        .agg(
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.count("*").alias("pages_with_hits"),
+        )
+        .orderBy(F.desc("total_hits"), F.asc("category"))
     )
 
     return ReportAggregates(
@@ -109,6 +132,7 @@ def build_aggregates(pages_with_intel: DataFrame, top_k: int = 50,
         top_categories=top_categories,
         high_risk_topk=high_risk_topk,
         global_iocs=global_iocs,
+        keyword_hits=keyword_hits,
     )
 
 
@@ -121,6 +145,7 @@ def render_html(aggs: ReportAggregates, out_path: str) -> str:
     cats = [r.asDict() for r in aggs.top_categories.collect()]
     topk = [r.asDict() for r in aggs.high_risk_topk.collect()]
     iocs = [r.asDict() for r in aggs.global_iocs.collect()]
+    kw_hits = [r.asDict() for r in aggs.keyword_hits.collect()]
 
     total = max(sum(hist.values()), 1)
     parts = [
@@ -155,12 +180,38 @@ def render_html(aggs: ReportAggregates, out_path: str) -> str:
         parts.append(
             f"<tr><td>{esc(r['url'])}</td><td>{r['risk_score']}</td>"
             f"<td>{esc(r['risk_label'])}</td></tr>")
-    parts.append("</table><h2>Global IOCs</h2><table>"
-                 "<tr><th>type</th><th>value</th></tr>")
+    # IOC Registry: one section per type, all 11 types, ≤ioc_cap rows
+    # each with a "showing first N of M" note (report.py:470-489)
+    parts.append("</table><h2>IOC Registry</h2>")
+    by_type: dict[str, list[dict]] = {}
     for r in iocs:
+        by_type.setdefault(r["ioc_type"], []).append(r)
+    any_ioc = False
+    for t, title in IOC_TITLES.items():
+        rows = sorted(by_type.get(t, []), key=lambda r: r["value"])
+        if not rows:
+            continue
+        any_ioc = True
+        n_total = rows[0]["n_total"]
+        parts.append(f"<h3 id='ioc-{esc(t)}'>{esc(title)} ({n_total})</h3>"
+                     "<table><tr><th>value</th></tr>")
+        for r in rows:
+            parts.append(f"<tr><td>{esc(r['value'])}</td></tr>")
+        parts.append("</table>")
+        if n_total > len(rows):
+            parts.append(
+                f"<p>Showing first {len(rows)} of {n_total}</p>")
+    if not any_ioc:
+        parts.append("<p>No IOCs extracted.</p>")
+
+    parts.append("<h2>Keyword hits by category</h2><table>"
+                 "<tr><th>category</th><th>total hits</th>"
+                 "<th>pages with hits</th></tr>")
+    for r in kw_hits:
         parts.append(
-            f"<tr><td>{esc(r['ioc_type'])}</td><td>{esc(r['value'])}</td></tr>")
-    parts.append("</body></html>")
+            f"<tr><td>{esc(r['category'])}</td><td>{r['total_hits']}</td>"
+            f"<td>{r['pages_with_hits']}</td></tr>")
+    parts.append("</table></body></html>")
     html_doc = "".join(parts)
     with open(out_path, "w") as f:
         f.write(html_doc)
