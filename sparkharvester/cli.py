@@ -35,12 +35,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bloom", action="store_const", const=True, default=None)
     p.add_argument("--host-tokens", type=int, default=None)
+    p.add_argument("--max-retries", type=int, default=None,
+                   help="re-enqueue failed fetches up to N times with "
+                        "exponential not_before backoff")
     p.add_argument("--resume", default=None, help="snapshot root to resume from")
     p.add_argument("--out", default=None)
     p.add_argument("--cpus", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "8")))
     p.add_argument("--report", action="store_true", help="render HTML report")
+    p.add_argument("--sql", default=None,
+                   help="ad-hoc SQL over the saved results (tables: "
+                        "crawl_results, crawl_metrics) — the reference's "
+                        "`sqlite3 results/deepwebharvester.db` workflow "
+                        "(README.md:335-348)")
+    p.add_argument("--query-only", action="store_true",
+                   help="skip the crawl; run --sql against an existing "
+                        "--out directory")
     return p
+
+
+def _register_results(spark, out_dir: str) -> None:
+    """Register the durable result tables for ad-hoc SQL (A9)."""
+    spark.read.parquet(os.path.join(out_dir, "crawl_results.parquet")) \
+        .createOrReplaceTempView("crawl_results")
+    metrics_dir = os.path.join(out_dir, "crawl_metrics.parquet")
+    if os.path.isdir(metrics_dir):
+        spark.read.parquet(metrics_dir) \
+            .createOrReplaceTempView("crawl_metrics")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -71,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         "crawler.crawl_delay": args.crawl_delay,
         "crawler.use_bloom": args.bloom,
         "crawler.host_tokens_per_round": args.host_tokens,
+        "crawler.max_retries": args.max_retries,
         "storage.output_dir": args.out,
     })
     synth = settings.synth
@@ -79,6 +101,18 @@ def main(argv: list[str] | None = None) -> int:
     cfg.checkpoint_dir = os.path.join(out_dir, "snapshots")
     seeds = settings.seed_urls or seed_urls(synth)
 
+    if args.query_only:
+        # A9 showcase: query the durable results without re-crawling —
+        # the Spark-SQL analog of `sqlite3 results/deepwebharvester.db`
+        if not args.sql:
+            raise SystemExit("--query-only requires --sql")
+        _register_results(spark, out_dir)
+        for row in spark.sql(args.sql).toJSON().collect():
+            print(row)
+        if owns_session:
+            spark.stop()
+        return 0
+
     t0 = time.monotonic()
     eng = run_crawl(spark, seeds, synth, cfg, resume_from=args.resume)
     elapsed = time.monotonic() - t0
@@ -86,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(out_dir, exist_ok=True)
     enriched = analyze_pages(eng.pages)
     paths = save_all(eng.pages, out_dir)
+    # durable metrics table alongside the results (per-partition lineage)
+    eng.metrics.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "crawl_metrics.parquet"))
+    paths["metrics"] = os.path.join(out_dir, "crawl_metrics.parquet")
+    if args.sql:
+        _register_results(spark, out_dir)
+        for row in spark.sql(args.sql).toJSON().collect():
+            print(row)
     if args.report:
         aggs = build_aggregates(enriched)
         paths["report"] = render_html(

@@ -81,6 +81,7 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_fpp: float = 0.01
     host_tokens_per_round: int | None = None   # None = politeness parity mode
+    max_retries: int = 0   # >0: failed fetches re-enqueue with not_before
     robots: dict[str, list[str]] | None = None  # host -> disallow path prefixes
     salt_buckets: int = 8
     run_id: str = "run-1"
@@ -132,8 +133,12 @@ def _make_robots_fetch(seed: int):
     return fetch
 
 
+FRONTIER_SCHEMA = ("seed_id int, canon_url string, depth int, "
+                   "retry_no int, not_before int")
+
+
 def _empty_frontier(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], "seed_id int, canon_url string, depth int")
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
 
 
 def run_crawl(
@@ -190,8 +195,8 @@ def run_crawl(
         pops = {i: 0 for i in range(n_seeds)}
         known = [canonicalize_one(u) for u in (known_urls or [])]
         frontier = spark.createDataFrame(
-            [(i, canonicalize_one(u), 0) for i, u in enumerate(valid)],
-            "seed_id int, canon_url string, depth int",
+            [(i, canonicalize_one(u), 0, 0, 0) for i, u in enumerate(valid)],
+            FRONTIER_SCHEMA,
         )
         seen = spark.createDataFrame(
             [(i, u) for i in range(n_seeds) for u in known], SEEN_SCHEMA,
@@ -211,21 +216,38 @@ def run_crawl(
         raise ValueError(
             f"host_tokens_per_round must be positive, got {cfg.host_tokens_per_round}"
         )
-    max_rounds = (cfg.max_depth + 1) * \
-        (50 if cfg.host_tokens_per_round is not None else 1)
+    if cfg.max_retries < 0:
+        raise ValueError(f"max_retries must be >= 0, got {cfg.max_retries}")
+    multi_round = (cfg.host_tokens_per_round is not None
+                   or cfg.max_retries > 0)
+    max_rounds = (cfg.max_depth + 1) * (50 if multi_round else 1)
     frontier_exhausted = False
     round_no = start_round
     while round_no < max_rounds:
         # ---- candidate selection -----------------------------------------
         active = [s for s in range(n_seeds) if counts[s] < cfg.max_pages]
-        live = frontier.filter(F.col("seed_id").isin(active))
+        eligible_now = F.col("seed_id").isin(active)
+        if cfg.max_retries > 0:
+            # retry scheduler: rows re-enqueued with a future not_before
+            # are invisible until their round arrives (I3 distributed)
+            live = frontier.filter(eligible_now
+                                   & (F.col("not_before") <= round_no))
+        else:
+            live = frontier.filter(eligible_now)
         head = live.agg(F.min("depth").alias("d")).collect()[0]["d"]
         if head is None:
+            if (cfg.max_retries > 0
+                    and frontier.filter(eligible_now).limit(1).count() > 0):
+                # only future-not_before rows remain: idle round, advance
+                # virtual time without committing a snapshot
+                round_no += 1
+                continue
             frontier_exhausted = True
             break
         depth = int(head)
         cand = live.filter(F.col("depth") == depth) \
-                   .dropDuplicates(["seed_id", "canon_url"])
+                   .dropDuplicates(["seed_id", "canon_url"]) \
+                   .drop("not_before")
 
         # visited gate: bloom prefilter (optional) + exact anti-join (D2/F6)
         bloom = None
@@ -260,7 +282,8 @@ def run_crawl(
             flagged = cand.withColumn("__tok", F.row_number().over(w_host))
             deferred = (
                 flagged.filter(F.col("__tok") > cfg.host_tokens_per_round)
-                .select("seed_id", "canon_url", "depth")
+                .select("seed_id", "canon_url", "depth", "retry_no",
+                        F.lit(0).alias("not_before"))
             )
             cand = flagged.filter(
                 F.col("__tok") <= cfg.host_tokens_per_round
@@ -304,7 +327,7 @@ def run_crawl(
                     F.col("dis_prefix").isNotNull()
                     & F.col("__path").startswith(F.col("dis_prefix")),
                 )
-                .groupBy("seed_id", "canon_url", "depth", "host")
+                .groupBy("seed_id", "canon_url", "depth", "retry_no", "host")
                 .agg(F.max("__robots_block").alias("robots_blocked"))
             )
             cand = hit
@@ -324,14 +347,14 @@ def run_crawl(
         # checked before paying for the fetch) — blacklisted rows rejoin
         # the pipeline as popped-but-skipped.
         to_fetch = gated.filter(~F.col("blacklisted")) \
-                        .select("canon_url", "seed_id", "depth")
+                        .select("canon_url", "seed_id", "depth", "retry_no")
         fetched = to_fetch.mapInPandas(fetch_stage, FETCH_SCHEMA)
         fetched = fetched.join(
             gated.select("seed_id", "canon_url", "blacklisted"),
             ["seed_id", "canon_url"],
         )
         skipped_rows = gated.filter(F.col("blacklisted")).select(
-            "canon_url", "seed_id", "depth",
+            "canon_url", "seed_id", "depth", "retry_no",
             F.lit(False).alias("ok"), F.lit(0).alias("attempts"),
             F.lit("").alias("title"), F.lit("").alias("text"),
             F.array().cast("array<string>").alias("hrefs"),
@@ -339,6 +362,24 @@ def run_crawl(
             F.lit(True).alias("blacklisted"),
         )
         fetched = fetched.unionByName(skipped_rows)
+
+        # ---- failed-fetch re-enqueue (I3 distributed: retries are
+        # frontier rows with a future not_before, not inline sleeps) ----
+        retry_delta = None
+        if cfg.max_retries > 0:
+            retry_cond = (~F.col("ok") & ~F.col("blacklisted")
+                          & (F.col("retry_no") < cfg.max_retries))
+            retry_delta = fetched.filter(retry_cond).select(
+                "seed_id", "canon_url", "depth",
+                (F.col("retry_no") + 1).alias("retry_no"),
+                # exponential backoff in virtual rounds: 1, 2, 4 …
+                # (crawler.py:141: backoff_factor * 2**attempt, in rounds)
+                (F.lit(round_no) + F.expr("shiftleft(1, retry_no)"))
+                .cast("int").alias("not_before"),
+            )
+            # retryable rows leave this round entirely: not popped, not
+            # marked seen, no links harvested — they will be re-fetched
+            fetched = fetched.filter(~retry_cond)
 
         fetched = fetched.withColumn(
             "content_hash",
@@ -440,15 +481,28 @@ def run_crawl(
                 .distinct()
                 .join(new_seen, ["seed_id", "canon_url"], "left_anti")
                 .withColumn("depth", F.lit(depth + 1))
+                .withColumn("retry_no", F.lit(0))
+                .withColumn("not_before", F.lit(0))
             )
         else:
             next_frontier = _empty_frontier(spark)
         leftover = frontier.filter(F.col("depth") > depth)
+        if cfg.max_retries > 0:
+            # retry rows parked with a future not_before stay queued at
+            # ANY depth — including depths the BFS head has already
+            # passed (the crawl moves on and revisits them when their
+            # round arrives; head = min(depth) brings them back first)
+            leftover = leftover.unionByName(frontier.filter(
+                (F.col("depth") <= depth) & (F.col("not_before") > round_no)
+            ))
         new_frontier = leftover.unionByName(
-            next_frontier.select("seed_id", "canon_url", "depth")
+            next_frontier.select("seed_id", "canon_url", "depth",
+                                 "retry_no", "not_before")
         )
         if deferred is not None:
             new_frontier = new_frontier.unionByName(deferred)
+        if retry_delta is not None:
+            new_frontier = new_frontier.unionByName(retry_delta)
 
         # ---- per-partition lineage metrics (CrawlStats analog) ---------------
         metrics_r = (

@@ -463,9 +463,13 @@ def _simhash_udf():
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    # token-less docs are dropped by a CHEAP codegen predicate BEFORE the
+    # UDF (a doc has a token iff it has an alphanumeric char) — filtering
+    # on the UDF output instead makes Catalyst push the filter below the
+    # spread-exchange and evaluate the UDF twice (seen in PLANS.md)
     return (
-        d.select("doc_id", _simhash_udf()(F.col("text")).alias("simhash"))
-        .filter(F.col("simhash").isNotNull())
+        d.filter(F.lower(F.col("text")).rlike("[a-z0-9]"))
+        .select("doc_id", _simhash_udf()(F.col("text")).alias("simhash"))
     )
 
 

@@ -60,14 +60,25 @@ class SynthConfig:
     relative_every: int = 5       # every 5th same-host link is relative
 
 
-def synth_fetch_page(url: str, cfg: SynthConfig) -> dict:
+def synth_fetch_page(url: str, cfg: SynthConfig, retry_no: int = 0) -> dict:
     """Deterministic fetch result for *url* (replaces crawler.py:123-153).
 
     Returns ok flag, attempts used, title, text, content links (raw
     hrefs, pre-filter/resolution) and a virtual latency.
-    """
+
+    ``retry_no`` models distributed re-enqueue retries (I3 as frontier
+    rows, SURVEY §2.8): at retry_no=0 behavior is identical to the
+    round-1 generator (oracle parity).  Half of the failing URLs are
+    TRANSIENT failures that succeed once retry_no reaches a
+    deterministic per-URL threshold (1 or 2); the rest fail forever —
+    mirroring real fetch behavior where some timeouts heal on retry
+    (crawler.py:130-146 inline backoff loop, distributed)."""
     u = _h(f"fetch/{cfg.seed}/{url}")
     ok = (u % 100) >= cfg.fail_rate_pct
+    if not ok and retry_no > 0:
+        t = _h(f"transient/{cfg.seed}/{url}")
+        if t % 2 == 0 and retry_no >= 1 + (t >> 1) % 2:   # heals at retry 1 or 2
+            ok = True
     # attempts: deterministic 1..3 (reference retries inline, crawler.py:130)
     attempts = 1 + (_h(f"att/{cfg.seed}/{url}") % 3 if not ok else 0)
     if not ok:
@@ -130,9 +141,9 @@ def synth_fetch_page(url: str, cfg: SynthConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 FETCH_SCHEMA = (
-    "canon_url string, seed_id int, depth int, ok boolean, attempts int, "
-    "title string, text string, hrefs array<string>, latency double, "
-    "fetch_partition int"
+    "canon_url string, seed_id int, depth int, retry_no int, ok boolean, "
+    "attempts int, title string, text string, hrefs array<string>, "
+    "latency double, fetch_partition int"
 )
 
 
@@ -142,7 +153,8 @@ def make_fetch_stage(cfg: SynthConfig):
     In production this stage holds the HTTP/Tor session per batch
     (tor_manager.py:88-129 analog); here it calls the deterministic
     generator.  Arrow-batched; partition id recorded for lineage
-    metrics (north rule).
+    metrics (north rule).  A ``retry_no`` input column (optional,
+    defaults to 0) feeds the transient-failure retry model.
     """
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,11 +162,15 @@ def make_fetch_stage(cfg: SynthConfig):
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
-            rows = [synth_fetch_page(u, cfg) for u in pdf["canon_url"]]
+            retries = (pdf["retry_no"].tolist() if "retry_no" in pdf
+                       else [0] * len(pdf))
+            rows = [synth_fetch_page(u, cfg, retry_no=rn)
+                    for u, rn in zip(pdf["canon_url"], retries)]
             out = pd.DataFrame({
                 "canon_url": pdf["canon_url"].values,
                 "seed_id": pdf["seed_id"].values,
                 "depth": pdf["depth"].values,
+                "retry_no": retries,
                 "ok": [r["ok"] for r in rows],
                 "attempts": [r["attempts"] for r in rows],
                 "title": [r["title"] for r in rows],

@@ -115,6 +115,50 @@ def test_resume_mismatch_rejected(spark):
                   resume_from=root)
 
 
+def test_retry_reenqueue_heals_transient_failures(spark):
+    """Failed-fetch re-enqueue (I3 distributed): with max_retries > 0,
+    transient failures re-enter the frontier with a future not_before
+    and eventually succeed; permanent failures still count as failed.
+    The page set must be a superset of the no-retry run."""
+    synth = SynthConfig(n_hosts=3, pages_per_host=15, fail_rate_pct=30)
+    seeds = seed_urls(synth)
+    base = run_crawl(spark, seeds, synth,
+                     CrawlConfig(max_depth=2, max_pages=100))
+    retried = run_crawl(spark, seeds, synth,
+                        CrawlConfig(max_depth=2, max_pages=100,
+                                    max_retries=2))
+    base_pages = _pages_set(base)
+    retry_pages = _pages_set(retried)
+    # healed URLs add pages; nothing is lost
+    assert base_pages <= retry_pages
+    assert retried.stats["pages_crawled"] >= base.stats["pages_crawled"]
+    # the synthetic transient model heals ~half of failures: some must
+    # actually have healed, and some permanent failures must remain
+    assert retried.stats["pages_crawled"] > base.stats["pages_crawled"]
+    assert retried.stats["pages_failed"] > 0
+    assert retried.stats["pages_failed"] < base.stats["pages_failed"]
+    # retries consume extra virtual rounds (not_before in the future)
+    assert retried.rounds > base.rounds
+    # no candidate vanishes: permanently-failing SEED urls must end as
+    # terminal failures even though the BFS head moves past their depth
+    # while they wait out not_before (regression: leftover used to drop
+    # parked retry rows at already-passed depths)
+    from sparkharvester.oracle import is_valid_onion_py
+    from sparkharvester.synth import synth_fetch_page
+
+    permanent_seeds = [
+        u for u in seeds if is_valid_onion_py(u)
+        and not synth_fetch_page(u, synth, retry_no=2)["ok"]
+    ]
+    if permanent_seeds:
+        assert retried.stats["pages_failed"] >= len(permanent_seeds)
+    # determinism: same config twice -> identical results
+    again = run_crawl(spark, seeds, synth,
+                      CrawlConfig(max_depth=2, max_pages=100, max_retries=2))
+    assert _pages_set(again) == retry_pages
+    assert again.stats == retried.stats
+
+
 def test_global_seq_matches_window(spark):
     """attach_global_seq == row_number over a global ORDER BY window."""
     from pyspark.sql.window import Window

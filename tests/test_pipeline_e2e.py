@@ -52,10 +52,23 @@ def test_cli_main(tmp_path, capsys):
 
     rc = main(["--hosts", "2", "--pages-per-host", "8", "--max-depth", "1",
                "--max-pages", "5", "--out", str(tmp_path / "o"),
-               "--cpus", "4", "--report"])
+               "--cpus", "4", "--report",
+               "--sql", "SELECT count(*) AS n FROM crawl_results"])
     assert rc == 0
-    out = capsys.readouterr().out.strip().splitlines()[-1]
-    summary = json.loads(out)
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
     assert summary["stats"]["pages_crawled"] > 0
     assert os.path.exists(summary["outputs"]["report"])
+    assert os.path.exists(summary["outputs"]["metrics"])
     assert os.path.exists(summary["snapshots"])
+    # the --sql line precedes the summary; count == crawled pages (A9)
+    sql_row = json.loads(lines[-2])
+    assert sql_row["n"] == summary["stats"]["pages_crawled"]
+
+    # query-only mode re-reads the durable tables without a crawl
+    rc = main(["--query-only", "--out", str(tmp_path / "o"),
+               "--cpus", "4",
+               "--sql", "SELECT sum(pages_crawled) AS n FROM crawl_metrics"])
+    assert rc == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["n"] == summary["stats"]["pages_crawled"]
