@@ -113,9 +113,13 @@ def with_iocs(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_count(text_lower: Column) -> Column:
     """max(len(text.split()), 1) — Python str.split() semantics (no empty
-    tokens), intelligence.py:299."""
+    tokens), intelligence.py:299.
+
+    regexp_count, not size(regexp_extract_all): the count is identical
+    but extract_all materializes every token string into an array just
+    to measure its length (measured ~4x slower at sf0.1)."""
     return F.greatest(
-        F.size(F.regexp_extract_all(text_lower, F.lit(r"\S+"), F.lit(0))),
+        F.regexp_count(text_lower, F.lit(r"\S+")),
         F.lit(1),
     )
 

@@ -142,10 +142,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
+        # regexp_count == size(regexp_extract_all) without materializing
+        # every matched token string (count-only semantics)
         F.greatest(
-            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))), F.lit(1)
+            F.regexp_count("text", F.lit(r"\S+")), F.lit(1)
         ).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), F.lit(0)))
+        F.regexp_count("text", F.lit(PUNCT_CLASS))
         .cast("long").alias("n_punct"),
         stop_hits.cast("long").alias("n_stop"),
     )
@@ -181,9 +183,9 @@ FROM documents
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_spread(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        F.regexp_count("text", F.lit(r"\S+"))
         .cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        F.regexp_count("text", F.lit(BPE_PATTERN))
         .cast("long").alias("bpe_tokens"),
     )
 
