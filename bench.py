@@ -323,6 +323,11 @@ def main() -> None:
         return s
     spark.range(cpus * 10_000).repartition(cpus) \
         .select(_warm(F.col("id"))).write.format("noop").mode("overwrite").save()
+    # warm the intel pipeline's codegen + UDF imports at sf0.001 so the
+    # alphabetically-first headline query doesn't absorb one-time JVM
+    # compile/import cost (~3s) that belongs to no query in particular
+    all_queries()["a4_risk_histogram"].build(spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
 
     qs = {n: q for n, q in all_queries().items() if q.bench}
     times: dict[str, float] = {}

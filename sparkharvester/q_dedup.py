@@ -265,12 +265,12 @@ FROM bands a JOIN bands b
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_candidates(spark, sf_dir)
+    return _lsh_candidates(_docs_shingled(spark, sf_dir))
 
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidates(shingled: DataFrame) -> DataFrame:
     """Distinct LSH candidate pairs (doc_a < doc_b) via banded self-join."""
-    hashed = _docs_shingled(spark, sf_dir).withColumn(
+    hashed = shingled.withColumn(
         "__sigs", _sig_udf()(F.col("shingles"))
     )
     sig = hashed.select(
@@ -367,8 +367,12 @@ WHERE jac >= {JACCARD_THRESHOLD}
     bench=True,
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_candidates(spark, sf_dir)
-    sets = _docs_shingled(spark, sf_dir).select(
+    # one cached shingling pass feeds BOTH the index build and the
+    # verify-side shingle sets (the pandas shingler is the dominant
+    # per-doc cost; without the cache it runs twice)
+    shingled = _docs_shingled(spark, sf_dir).cache()
+    cand = _lsh_candidates(shingled)
+    sets = shingled.select(
         "doc_id", F.array_distinct("shingles").alias("sh")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -136,17 +136,59 @@ def d1_window_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within label buckets, bounded sample, threshold 0.95
 # ---------------------------------------------------------------------------
 
+_PR_N = 100
+_PR_FAN = 3
+_PR_SEED = 42
+_PR_ITERS = 10
+_PR_D = 0.85
+
+
+def _pagerank_sql() -> str:
+    """DuckDB oracle: the same deterministic host graph and update rule,
+    with the fixed iteration count UNROLLED as chained CTEs (recursive
+    CTEs cannot aggregate over the whole previous iteration cleanly).
+    This graph has no dangling nodes (every src keeps >=1 out-edge), so
+    the dangling-mass term is identically zero on both engines."""
+    edges = " UNION ALL ".join(
+        f"SELECT i AS src, (i*{k + 1}+{_PR_SEED}) % {_PR_N} AS dst "
+        f"FROM range({_PR_N}) t(i)"
+        for k in range(1, _PR_FAN + 1)
+    )
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges}) "
+        "WHERE src <> dst)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        f"r0 AS (SELECT node, 1.0/{_PR_N} AS rank FROM nodes)",
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"(1.0-{_PR_D})/{_PR_N} + {_PR_D} * coalesce(m.mass, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.rank / d.deg) AS mass "
+            f"FROM r{i} r JOIN deg d ON d.src = r.node "
+            f"JOIN edges e ON e.src = r.node GROUP BY e.dst"
+            f") m ON m.node = n.node)"
+        )
+    return (", ".join(parts)
+            + f" SELECT node, round(rank, 8) AS rank FROM r{_PR_ITERS}")
+
+
 @register(
     "graph_pagerank",
-    oracle=None,  # iterative — verified vs a numpy oracle in tests/test_graph.py
+    oracle=_pagerank_sql(),
     doc="PageRank over a synthetic host graph as an iterative DataFrame "
-        "loop with per-iteration lineage truncation (J5/A8 extension)",
+        "loop with per-iteration lineage truncation (J5/A8 extension); "
+        "oracle = the same fixed-iteration update unrolled in SQL",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import host_edges_synthetic, pagerank
 
-    edges = host_edges_synthetic(spark, n_hosts=100, fanout=3)
-    return pagerank(edges, iterations=10).select(
+    edges = host_edges_synthetic(spark, n_hosts=_PR_N, fanout=_PR_FAN,
+                                 seed=_PR_SEED)
+    return pagerank(edges, damping=_PR_D, iterations=_PR_ITERS).select(
         "node", F.round("rank", 8).alias("rank")
     )
 
