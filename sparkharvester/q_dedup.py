@@ -392,6 +392,101 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup CLUSTERING: connected components over the verified pairs —
+# what a dedup pipeline actually materializes (one winner per cluster).
+# Spark: iterative min-label propagation (pagerank-style driver loop,
+# localCheckpoint lineage truncation, converges in O(component
+# diameter) rounds — near-dup clusters are near-cliques, so 2-4).
+# Oracle: full transitive closure via recursive CTE + min per node.
+# At 10^10 docs the same loop runs with the pairs table partitioned by
+# node; large-star/small-star is the constant-factor upgrade, with
+# identical output.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    Deterministic: min-label propagation to a fixpoint (the driver
+    checks convergence per round — bounded by component diameter).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _components_sql() -> str:
+    """Oracle: verified near-dup pairs → transitive closure → min label.
+
+    The recursive member only joins (no aggregation over the recursive
+    reference), so it is valid recursive-CTE SQL; UNION dedupes, which
+    guarantees termination."""
+    verified = _lsh_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({verified}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node AS src, node AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM (SELECT * FROM reach) r
+  JOIN edges e ON e.src = r.dst
+)
+SELECT src AS node, CAST(min(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=_components_sql(),
+    doc="near-dup clusters: connected components over LSH-verified "
+        "Jaccard pairs (min-label propagation; the cluster table a "
+        "dedup pipeline keeps one winner per row of)",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # SimHash signatures (60-bit)
 # ---------------------------------------------------------------------------
 

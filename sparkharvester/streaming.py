@@ -61,6 +61,88 @@ def stream_hourly_counts(
     return q
 
 
+STATE_SCHEMA = "pages long, total_value double"
+HOST_STATE_OUT = ("key string, pages long, total_value double, "
+                  "batch_pages long")
+
+
+def stream_keyed_state(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_table: str = "stream_keyed_state",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-key running totals that survive across micro-batches and
+    restarts (the checkpoint persists the state store).
+
+    The crawl analog: per-host running crawl statistics maintained
+    incrementally as result batches commit — a true stateful operator,
+    not a windowed agg (SURVEY §2.11; the reference's CrawlStats is
+    driver-global, crawler.py:46-60 — this is its distributed,
+    restart-safe generalization).
+
+    Scale: state is partitioned by key across executors by the state
+    store; each micro-batch shuffles only its own rows to their key
+    partitions.  NoTimeout — keys live as long as the query.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def update(key, pdfs, state: GroupState):
+        batch_rows = 0
+        batch_value = 0.0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            batch_value += float(pdf[value_col].sum())
+        if state.exists:
+            pages, total = state.get
+        else:
+            pages, total = 0, 0.0
+        pages += batch_rows
+        total += batch_value
+        state.update((pages, total))
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "pages": [pages],
+            "total_value": [round(total, 6)],
+            "batch_pages": [batch_rows],
+        })
+
+    stream = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=HOST_STATE_OUT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # foreachBatch sink, NOT format("memory"): the memory sink refuses
+    # checkpoint recovery, and restart-safe state is the whole point
+    collected: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        collected.extend(r.asDict() for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.collected = collected   # exposed for callers/tests
+    return q
+
+
 def stream_pages_foreachBatch(
     spark: SparkSession,
     pages_dir: str,

@@ -53,3 +53,17 @@ def test_lsh_verified_equals_ground_truth_on_candidates(spark):
     for k in expect:
         assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
     assert got, "no verified near-dup pairs found at sf0.001"
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation converges on a long path graph (diameter
+    9 forces several iterations) and keeps components separate."""
+    from sparkharvester.q_dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 19)]          # 10-…-19
+    island = [(100, 101), (101, 102)]                    # separate comp
+    pairs = spark.createDataFrame(chain + island, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert {got[n] for n in range(10, 20)} == {10}
+    assert {got[n] for n in (100, 101, 102)} == {100}

@@ -47,3 +47,45 @@ def test_foreach_batch_callback(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert seen["rows"] == spark.read.parquet(docs_dir).count()
     assert seen["batches"] >= 1
+
+
+def test_keyed_state_accumulates_across_triggers(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-key state persists across separate
+    query runs sharing a checkpoint (restart-safe running totals)."""
+    import duckdb
+
+    from sparkharvester.streaming import stream_keyed_state
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    ck = str(tmp_path / "ck_state")
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    q = stream_keyed_state(spark, str(events_dir), ck)
+    q.awaitTermination(120)
+    first = {r["key"]: (r["pages"], r["total_value"]) for r in q.collected}
+    batch = {
+        r["event_type"]: (r["n"], r["tv"])
+        for r in spark.read.parquet(str(events_dir))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("tv")).collect()
+    }
+    assert {k: v[0] for k, v in first.items()} == {k: v[0] for k, v in batch.items()}
+
+    # second trigger: new file arrives; same checkpoint -> state carries
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{sf_dir}/events.parquet' LIMIT 100) "
+        f"TO '{events_dir}/part-1.parquet' (FORMAT PARQUET)"
+    )
+    q2 = stream_keyed_state(spark, str(events_dir), ck)
+    q2.awaitTermination(120)
+    second = {r["key"]: r["pages"] for r in q2.collected}
+    extra = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{events_dir}/part-1.parquet")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # updated keys report old state + only-the-new rows
+    for k, n in extra.items():
+        assert second[k] == first[k][0] + n, (k, second[k], first[k], n)
