@@ -104,3 +104,32 @@ def test_ivf_deterministic_and_label_free(spark):
     n = emb.count()
     assert set(sizes) == set(range(IVF_K))
     assert max(sizes.values()) < 0.5 * n
+
+
+def test_ivf_bucket_partitioned_probe_prunes(spark, tmp_path):
+    """The scale path: persist the assignment bucket-partitioned; a
+    probe filtered to nprobe buckets must only read those partitions
+    (partition pruning visible via inputFiles)."""
+    from sparkharvester.session import load
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    C = ivf_fit(emb)
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_assign(emb, C).write.partitionBy("bucket").parquet(idx_path)
+
+    idx = spark.read.parquet(idx_path)
+    all_files = set(idx.inputFiles())
+    assert any("/bucket=" in f for f in all_files)     # hive-partitioned
+
+    probe = idx.filter(F.col("bucket").isin([0, 1]))
+    assert probe.count() > 0
+    # the scan must carry the bucket predicate as a PARTITION filter
+    # (directory pruning), not a post-scan data filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "bucket" in pf[0] and "PartitionFilters: []" not in pf[0], pf[0]
+    # and the pruned listing really is smaller than the full index
+    n_pruned = len({f for f in all_files
+                    if "/bucket=0/" in f or "/bucket=1/" in f})
+    assert 0 < n_pruned < len(all_files)
