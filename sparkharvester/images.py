@@ -170,6 +170,120 @@ def make_images_df(spark: SparkSession, page_urls: DataFrame | None = None,
     return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# multimodal pipeline stages: resize / feature-extract / frame-sample
+# (decode → transform as Arrow-batched mapInPandas; the image/audio libs
+# absent from this sandbox would slot into decode_image unchanged —
+# everything Spark-side below is the real plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "image_id string, w int, h int, bytes binary, phash long"
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy, deterministic)."""
+    ys = (np.arange(out_h) * px.shape[0]) // out_h
+    xs = (np.arange(out_w) * px.shape[1]) // out_w
+    return px[ys][:, xs]
+
+
+def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """decode → nearest-neighbor resize → raw re-encode + new phash.
+
+    Pure map stage over binary columns: zero shuffle, scales linearly;
+    parquet scan reads only (image_id, bytes, fmt, w, h)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+                small = resize_nearest(px, out_w, out_h)
+                rows.append((r.image_id, out_w, out_h,
+                             small.tobytes(), phash64(small)))
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h",
+                                              "bytes", "phash"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h") \
+                 .mapInPandas(run, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "image_id string, features array<float>"
+
+
+def image_features(images: DataFrame, bins: int = 8) -> DataFrame:
+    """Feature extraction: per-channel normalized histograms (3*bins
+    floats) — a real pixel-level featurizer with no ML dependency; a
+    cluster swaps the body for a model forward pass, the Spark plumbing
+    (schema, batching, column pruning) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = np.linspace(0, 256, bins + 1)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+                feat: list[float] = []
+                npix = float(px.shape[0] * px.shape[1])
+                for c in range(3):
+                    hist, _ = np.histogram(px[:, :, c], bins=edges)
+                    feat.extend((hist / npix).astype(np.float32).tolist())
+                rows.append((r.image_id, feat))
+            yield pd.DataFrame(rows, columns=["image_id", "features"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h") \
+                 .mapInPandas(run, FEATURES_SCHEMA)
+
+
+VIDEOS_SCHEMA = ("video_id string, bytes binary, w int, h int, "
+                 "n_frames int, fps double")
+FRAMES_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h int"
+
+
+def make_videos_df(spark: SparkSession, n: int = 8, seed: int = 42) -> DataFrame:
+    """Synthetic raw 'video' payloads: n_frames concatenated RGB frames
+    (the codec-less stand-in for a real container; frame geometry in
+    typed metadata per the input-hint pattern)."""
+
+    base = spark.range(n).selectExpr("concat('vid-', id) AS video_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid in pdf["video_id"]:
+                hs = int(hashlib.md5(f"{seed}/{vid}".encode()).hexdigest()[:8], 16)
+                w, h = 8 + hs % 25, 8 + (hs >> 8) % 25
+                nf = 6 + hs % 20
+                frames = [synth_pixels(f"{vid}/f{i}", w, h) for i in range(nf)]
+                rows.append((vid, b"".join(f.tobytes() for f in frames),
+                             w, h, nf, 24.0))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "w", "h",
+                                              "n_frames", "fps"])
+
+    return base.mapInPandas(gen, VIDEOS_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 5) -> DataFrame:
+    """Frame sampling: slice every k-th frame out of the raw payload —
+    one input row fans out to ceil(n_frames/k) image rows.  Map-only
+    (mapInPandas may emit more rows than it consumes), no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                stride = r.w * r.h * 3
+                raw = bytes(r.bytes)
+                for i in range(0, r.n_frames, every_k):
+                    rows.append((r.video_id, i,
+                                 raw[i * stride:(i + 1) * stride], r.w, r.h))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx",
+                                              "bytes", "w", "h"])
+
+    return videos.select("video_id", "bytes", "w", "h", "n_frames") \
+                 .mapInPandas(run, FRAMES_SCHEMA)
+
+
 INVARIANT_SCHEMA = ("image_id string, fmt string, pixels_equal boolean, "
                     "psnr_db double, psnr_ok boolean, caption_ok boolean, "
                     "phash_ok boolean")

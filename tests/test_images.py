@@ -51,3 +51,61 @@ def test_invariants_hold_on_spark(spark):
     assert all(r["phash_ok"] for r in res)
     fmts = {r["fmt"] for r in res}
     assert fmts == {"png", "raw"}
+
+
+def test_resize_images(spark):
+    """decode → nearest-neighbor resize: shape, determinism, content."""
+    import numpy as np
+
+    from sparkharvester.images import (
+        make_images_df, resize_images, resize_nearest, synth_pixels, phash64,
+    )
+
+    imgs = make_images_df(spark, n=12)
+    out = {r["image_id"]: r for r in resize_images(imgs, 16, 16).collect()}
+    assert len(out) == 12
+    for img_id, r in out.items():
+        assert (r["w"], r["h"]) == (16, 16)
+        px = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8).reshape(16, 16, 3)
+        # recompute the expected resize from the deterministic source
+        src_meta = [x for x in imgs.collect() if x["image_id"] == img_id][0]
+        ref = resize_nearest(
+            synth_pixels(img_id, src_meta["w"], src_meta["h"]), 16, 16)
+        assert np.array_equal(px, ref)
+        assert r["phash"] == phash64(ref)
+
+
+def test_image_features(spark):
+    """Per-channel histograms: 3*bins floats, each channel sums to 1."""
+    from sparkharvester.images import image_features, make_images_df
+
+    feats = image_features(make_images_df(spark, n=6), bins=8).collect()
+    assert len(feats) == 6
+    for r in feats:
+        f = r["features"]
+        assert len(f) == 24
+        for c in range(3):
+            assert abs(sum(f[c * 8:(c + 1) * 8]) - 1.0) < 1e-5
+
+
+def test_sample_frames(spark):
+    """Every k-th frame extracted; bytes decode to the synth frame."""
+    import numpy as np
+
+    from sparkharvester.images import make_videos_df, sample_frames, synth_pixels
+
+    vids = make_videos_df(spark, n=4)
+    meta = {r["video_id"]: r for r in vids.select(
+        "video_id", "w", "h", "n_frames").collect()}
+    frames = sample_frames(vids, every_k=5).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for vid, m in meta.items():
+        idxs = sorted(r["frame_idx"] for r in by_vid[vid])
+        assert idxs == list(range(0, m["n_frames"], 5))
+        for r in by_vid[vid]:
+            px = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8) \
+                   .reshape(m["h"], m["w"], 3)
+            assert np.array_equal(
+                px, synth_pixels(f"{vid}/f{r['frame_idx']}", m["w"], m["h"]))
