@@ -80,3 +80,33 @@ def test_extract_links_only_valid_canonical(hrefs):
     for link in links:
         assert is_valid_onion_py(link)
         assert canonicalize_one(link) == link
+
+
+@given(pairs=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                      min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark, pairs):
+    """Spark min-label propagation == a sequential union-find, for any
+    pair set (self-loops and duplicates included)."""
+    from sparkharvester.q_dedup import connected_components
+
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pdf).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
