@@ -55,7 +55,13 @@ from .constants import (
     DEFAULT_MAX_PAGES,
 )
 from .oracle import is_valid_onion_py
-from .seen import anti_join_with_bloom, build_bloom
+from .seen import (
+    anti_join_with_probe,
+    bloom_probe_udf,
+    build_bloom,
+    build_cuckoo,
+    cuckoo_probe_udf,
+)
 from .seq import attach_global_seq
 from .storage import SnapshotStore
 from .synth import FETCH_SCHEMA, SynthConfig, make_fetch_stage
@@ -79,6 +85,7 @@ class CrawlConfig:
     crawl_delay: float = DEFAULT_CRAWL_DELAY
     blacklist: list[str] = dc_field(default_factory=lambda: list(DEFAULT_BLACKLIST_PATHS))
     use_bloom: bool = False
+    use_cuckoo: bool = False   # cuckoo-filter prefilter (supports delete)
     bloom_fpp: float = 0.01
     host_tokens_per_round: int | None = None   # None = politeness parity mode
     max_retries: int = 0   # >0: failed fetches re-enqueue with not_before
@@ -249,25 +256,34 @@ def run_crawl(
                    .dropDuplicates(["seed_id", "canon_url"]) \
                    .drop("not_before")
 
-        # visited gate: bloom prefilter (optional) + exact anti-join (D2/F6)
-        bloom = None
-        if cfg.use_bloom:
+        # visited gate: bloom/cuckoo prefilter (optional) + exact
+        # anti-join (D2/F6) — both filters are definitely-unseen fast
+        # paths only, so the result equals the plain anti-join
+        probe = None
+        if cfg.use_bloom or cfg.use_cuckoo:
             seen_keyed = seen.withColumn(
                 "probe_key", F.concat(F.col("seed_id").cast("string"),
                                       F.lit("|"), F.col("canon_url"))
             )
             n_seen = seen.count()
             if n_seen > 0:
-                bloom = build_bloom(seen_keyed, "probe_key",
-                                    expected_items=max(n_seen, 1024),
-                                    fpp=cfg.bloom_fpp)
+                if cfg.use_cuckoo:
+                    probe = cuckoo_probe_udf(
+                        spark, build_cuckoo(seen_keyed, "probe_key",
+                                            expected_items=max(n_seen, 1024)))
+                else:
+                    probe = bloom_probe_udf(
+                        spark, build_bloom(seen_keyed, "probe_key",
+                                           expected_items=max(n_seen, 1024),
+                                           fpp=cfg.bloom_fpp))
+        if probe is not None:
             cand = cand.withColumn(
                 "probe_key", F.concat(F.col("seed_id").cast("string"),
                                       F.lit("|"), F.col("canon_url"))
             )
-            cand = anti_join_with_bloom(
+            cand = anti_join_with_probe(
                 cand, seen_keyed.select("seed_id", "canon_url"),
-                ["seed_id", "canon_url"], bloom, "probe_key",
+                ["seed_id", "canon_url"], probe, "probe_key",
             ).drop("probe_key")
         else:
             cand = cand.join(seen, ["seed_id", "canon_url"], "left_anti")

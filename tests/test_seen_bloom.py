@@ -39,3 +39,69 @@ def test_distributed_build_matches_local(spark):
     local = BloomFilter(bf.n_bits, bf.k)
     local.add_series(pd.Series([f"u{i}" for i in range(5000)]))
     assert np.array_equal(bf.bits, local.bits)
+
+
+def test_cuckoo_crawl_is_exact(spark):
+    """Cuckoo prefilter run == exact anti-join run (SURVEY §7.4.3
+    contract extended to the cuckoo variant)."""
+    from sparkharvester.frontier import CrawlConfig, run_crawl
+    from sparkharvester.synth import SynthConfig, seed_urls
+
+    synth = SynthConfig(n_hosts=3, pages_per_host=15)
+    seeds = seed_urls(synth)
+    base = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=15))
+    cuckoo = run_crawl(spark, seeds, synth,
+                       CrawlConfig(max_depth=2, max_pages=15, use_cuckoo=True))
+    key = lambda eng: {(r["seed_id"], r["url"], r["depth"])
+                       for r in eng.pages.collect()}
+    assert key(base) == key(cuckoo)
+    assert base.stats == cuckoo.stats
+
+
+def test_cuckoo_filter_membership_and_delete():
+    import numpy as np
+    import pandas as pd
+
+    from sparkharvester.seen import CuckooFilter
+
+    keys = pd.Series([f"k-{i}" for i in range(2000)])
+    cf = CuckooFilter(CuckooFilter.params(2000))
+    cf.add_series(keys)
+    assert not cf.overflow
+    # no false negatives
+    assert cf.contains_series(keys).all()
+    # false-positive rate on disjoint keys is small (16-bit fingerprints)
+    other = pd.Series([f"x-{i}" for i in range(2000)])
+    fpr = cf.contains_series(other).mean()
+    assert fpr < 0.05, fpr
+    # delete: removed keys stop matching (unless a colliding fp remains)
+    victims = keys[:200]
+    assert cf.delete_series(victims).all()
+    assert cf.contains_series(victims).mean() < 0.05
+    # the rest are still all present
+    assert cf.contains_series(keys[200:]).all()
+
+
+def test_cuckoo_overflow_degrades_to_maybe():
+    import pandas as pd
+
+    from sparkharvester.seen import CuckooFilter
+
+    cf = CuckooFilter(16)     # tiny: 64 slots
+    cf.add_series(pd.Series([f"k-{i}" for i in range(200)]))
+    assert cf.overflow
+    # degraded filter claims maybe-seen for EVERYTHING: exactness of the
+    # downstream anti-join is preserved, only the fast path is lost
+    assert cf.contains_series(pd.Series(["never-inserted"])).all()
+
+
+def test_cuckoo_partitioned_build_merge(spark):
+    import pandas as pd
+
+    from sparkharvester.seen import build_cuckoo
+
+    df = spark.range(3000).selectExpr("concat('u-', id) AS k").repartition(8)
+    cf = build_cuckoo(df, "k", expected_items=3000)
+    assert not cf.overflow
+    keys = pd.Series([f"u-{i}" for i in range(3000)])
+    assert cf.contains_series(keys).all()      # merge kept every key

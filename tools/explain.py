@@ -35,9 +35,13 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"\n## {name}\n\n```\n{buf.getvalue()}\n```\n")
-    with open("PLANS.md", "w") as f:
-        f.write("".join(out))
-    print("wrote PLANS.md")
+    if names:
+        # ad-hoc inspection: print, don't clobber the full PLANS.md
+        print("".join(out))
+    else:
+        with open("PLANS.md", "w") as f:
+            f.write("".join(out))
+        print("wrote PLANS.md")
     spark.stop()
 
 
