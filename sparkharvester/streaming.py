@@ -61,6 +61,61 @@ def stream_hourly_counts(
     return q
 
 
+def stream_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    gap_seconds: int = 1800,
+):
+    """Streaming gap-based sessionization via ``session_window`` — the
+    event-time analog of the batch events_sessions query (q_rel.py).
+
+    Semantics parity: the batch rule splits when the SECOND-floored gap
+    exceeds *gap_seconds*; session_window merges events closer than the
+    window gap, so flooring timestamps to seconds and using
+    ``gap_seconds + 1`` reproduces the exact same session boundaries.
+
+    APPEND mode (the only mode session windows support): a session is
+    emitted once the event-time watermark passes its end.  Sessions
+    still open at end-of-input flush on the next trigger that advances
+    the watermark — tests drive this with a far-future sentinel event,
+    production streams flush naturally as data keeps arriving.
+    """
+    import pandas as pd  # noqa: F401 — keeps Arrow path warm
+
+    schema = spark.read.parquet(events_dir).schema
+    floored = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withColumn(
+            "tsec",
+            F.col("ts").cast("timestamp").cast("long").cast("timestamp"),
+        )
+        .withWatermark("tsec", "0 seconds")
+        .groupBy(F.session_window("tsec", f"{gap_seconds + 1} seconds"),
+                 F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    collected: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        collected.extend(r.asDict() for r in df.collect())
+
+    q = (
+        floored.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.collected = collected
+    return q
+
+
 STATE_SCHEMA = "pages long, total_value double"
 HOST_STATE_OUT = ("key string, pages long, total_value double, "
                   "batch_pages long")

@@ -89,3 +89,54 @@ def test_keyed_state_accumulates_across_triggers(spark, sf_dir, tmp_path):
     # updated keys report old state + only-the-new rows
     for k, n in extra.items():
         assert second[k] == first[k][0] + n, (k, second[k], first[k], n)
+
+
+def test_stream_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Streaming session_window sessionization == the batch window-
+    function sessionization (same 30-min gap rule, second-floored)."""
+    from collections import defaultdict
+
+    from sparkharvester.q_rel import events_sessions
+    from sparkharvester.streaming import stream_sessions
+
+    events_dir = tmp_path / "sess_ev"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    q = stream_sessions(spark, str(events_dir), str(tmp_path / "sess_ck"))
+    q.awaitTermination(180)
+    rows = list(q.collected)
+
+    # append mode withholds sessions the watermark hasn't passed; a
+    # far-future sentinel event per user advances it and flushes them
+    import duckdb
+
+    sentinel_epoch = int(duckdb.sql(
+        f"SELECT floor(epoch(max(ts))) + 864000 FROM '{events_dir}/part-0.parquet'"
+    ).fetchone()[0])
+    duckdb.sql(
+        f"COPY (SELECT 'sent-' || user_id AS event_id, "
+        f"to_timestamp({sentinel_epoch}) AS ts, event_type, user_id, value "
+        f"FROM (SELECT DISTINCT ON (user_id) * "
+        f"FROM '{events_dir}/part-0.parquet')) "
+        f"TO '{events_dir}/part-1.parquet' (FORMAT PARQUET)"
+    )
+    q2 = stream_sessions(spark, str(events_dir), str(tmp_path / "sess_ck"))
+    q2.awaitTermination(180)
+    rows += list(q2.collected)
+
+    per_user = defaultdict(lambda: [0, 0])     # user -> [n_sessions, n_events]
+    for r in rows:
+        if r["session_start"] >= sentinel_epoch:
+            continue                            # the sentinel's own session
+        per_user[r["user_id"]][0] += 1
+        per_user[r["user_id"]][1] += r["n_events"]
+    streamed = {u: tuple(v) for u, v in per_user.items()}
+
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessions(spark, str(sf_dir)).collect()
+    }
+    # events_sessions loads from sf_dir directly; same file copied above
+    assert streamed == batch
+    assert len(streamed) > 0
