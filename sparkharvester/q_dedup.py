@@ -4,7 +4,12 @@
    content dedup, crawler.py:184-191, here over ``documents``);
  - MinHash + LSH banding: shingle → K minhashes → B bands → bucket
    self-join → candidate pairs;
- - SimHash: 60-bit signature from token-hash bit votes;
+ - LSH → exact-Jaccard verify (``dedup_lsh_verified``): the composed
+   index-bounded pipeline a 100 TB dedup actually runs;
+ - near-dup clustering (``dedup_components``): connected components
+   over verified pairs via min-label propagation;
+ - SimHash: 60-bit signature from token-hash bit votes, as a
+   zero-shuffle per-doc pandas UDF;
  - word-3-gram Jaccard near-dup pairs with frequent-shingle pruning.
 
 Cross-engine determinism trick: all hashing is md5-hex (identical in
