@@ -159,6 +159,35 @@ def test_retry_reenqueue_heals_transient_failures(spark):
     assert again.stats == retried.stats
 
 
+def test_politeness_and_retries_compose(spark):
+    """Politeness token bucket + retry re-enqueue together: the URL-seen
+    set equals the parity run's (politeness invariant) plus every extra
+    page the retries heal — and the run terminates within the round
+    budget without truncation warnings."""
+    import warnings
+
+    synth = SynthConfig(n_hosts=3, pages_per_host=12, fail_rate_pct=25)
+    seeds = seed_urls(synth)
+    retry_only = run_crawl(spark, seeds, synth,
+                           CrawlConfig(max_depth=2, max_pages=1000,
+                                       max_retries=2))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        both = run_crawl(
+            spark, seeds, synth,
+            CrawlConfig(max_depth=2, max_pages=1000, max_retries=2,
+                        host_tokens_per_round=3),
+        )
+    assert not [w for w in caught if "max_rounds" in str(w.message)], \
+        "politeness+retry run was truncated by the round budget"
+    seen_r = {(r["seed_id"], r["canon_url"]) for r in retry_only.seen_urls.collect()}
+    seen_b = {(r["seed_id"], r["canon_url"]) for r in both.seen_urls.collect()}
+    assert seen_r == seen_b                 # politeness never changes coverage
+    assert both.stats["pages_crawled"] == retry_only.stats["pages_crawled"]
+    assert both.stats["pages_failed"] == retry_only.stats["pages_failed"]
+    assert both.rounds >= retry_only.rounds
+
+
 def test_global_seq_matches_window(spark):
     """attach_global_seq == row_number over a global ORDER BY window."""
     from pyspark.sql.window import Window
