@@ -208,3 +208,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.sha2(norm, 256).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: the end-to-end pass a training-data build
+# actually runs — language gate ∘ quality gates ∘ exact-dedup winner —
+# emitting the curated manifest with its token budget.  One scan, two
+# window/agg shuffles (dedup winner + final count), everything else is
+# codegen map work; at 100 TB each gate prunes before the next pays.
+# ---------------------------------------------------------------------------
+
+CURATE_LANG = "en"
+CURATE_MIN_TOKENS = 25
+CURATE_MIN_STOP_RATIO = 0.02
+
+
+def _curate_sql() -> str:
+    lang = _langid_sql().strip()
+    quality = _quality_sql().strip()
+    return f"""
+WITH lang_tbl AS ({lang}),
+q_tbl AS ({quality}),
+winners AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS winner
+  FROM documents
+)
+SELECT d.doc_id, l.lang_pred, q.n_tokens, q.stop_ratio
+FROM documents d
+JOIN lang_tbl l ON l.doc_id = d.doc_id
+JOIN q_tbl q ON q.doc_id = d.doc_id
+JOIN winners w ON w.doc_id = d.doc_id
+WHERE l.lang_pred = '{CURATE_LANG}'
+  AND q.n_tokens >= {CURATE_MIN_TOKENS}
+  AND q.stop_ratio >= {CURATE_MIN_STOP_RATIO}
+  AND w.doc_id = w.winner
+"""
+
+
+@register(
+    "curate_training_set",
+    oracle=_curate_sql(),
+    doc=f"composed curation pipeline: lang={CURATE_LANG} + n_tokens>="
+        f"{CURATE_MIN_TOKENS} + stop_ratio>={CURATE_MIN_STOP_RATIO} + "
+        "exact-dedup winners -> curated manifest",
+)
+def curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lang = text_langid(spark, sf_dir)
+    quality = text_quality(spark, sf_dir).select("doc_id", "n_tokens",
+                                                 "stop_ratio")
+    winners = (
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+        .withColumn("winner", F.min("doc_id").over(
+            Window.partitionBy(F.sha2("text", 256))))
+        .filter(F.col("doc_id") == F.col("winner"))
+        .select("doc_id")
+    )
+    return (
+        lang.filter(F.col("lang_pred") == CURATE_LANG)
+        .join(quality, "doc_id")
+        .join(winners, "doc_id")
+        .filter((F.col("n_tokens") >= CURATE_MIN_TOKENS)
+                & (F.col("stop_ratio") >= CURATE_MIN_STOP_RATIO))
+        .select("doc_id", "lang_pred", "n_tokens", "stop_ratio")
+    )
