@@ -608,7 +608,10 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= {JACCARD_THRESHOLD}
 """,
-    doc=f"word-3-gram Jaccard >= {JACCARD_THRESHOLD} near-dup pairs (stop-shingle pruned)",
+    doc=f"word-3-gram Jaccard >= {JACCARD_THRESHOLD} near-dup pairs "
+        "(stop-shingle pruned); EXHAUSTIVE baseline — at scale run "
+        "dedup_lsh_verified, which consumes the LSH index instead of "
+        "self-joining all shingles",
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
