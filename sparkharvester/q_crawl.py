@@ -226,6 +226,42 @@ def crawl_round_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "blacklisted", "ok", "is_dup", "popped")
 
 
+def _rg_stats_sql() -> str:
+    return f"""
+WITH gates AS ({_rg_sql()})
+SELECT seed_id,
+       CAST(count(*) AS BIGINT) AS candidates,
+       CAST(sum(CASE WHEN NOT admitted THEN 1 ELSE 0 END) AS BIGINT) AS deferred,
+       CAST(sum(CASE WHEN admitted AND blacklisted THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+       CAST(sum(CASE WHEN admitted AND NOT blacklisted AND NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS deduplicated,
+       CAST(sum(CASE WHEN popped AND admitted AND ok AND NOT blacklisted
+                      AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS crawled
+FROM gates GROUP BY seed_id
+"""
+
+
+@register(
+    "crawl_round_stats",
+    oracle=_rg_stats_sql(),
+    doc="per-seed counter rollup of one BFS round's gate trace "
+        "(CrawlStats / A1 semantics, oracle-checked; crawler.py:46-60)",
+)
+def crawl_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = crawl_round_gates(spark, sf_dir)
+    adm = F.col("admitted")
+    return g.groupBy("seed_id").agg(
+        F.count("*").alias("candidates"),
+        F.sum((~adm).cast("long")).alias("deferred"),
+        F.sum((adm & F.col("blacklisted")).cast("long")).alias("skipped"),
+        F.sum((adm & ~F.col("blacklisted") & ~F.col("ok")).cast("long"))
+         .alias("failed"),
+        F.sum(F.col("is_dup").cast("long")).alias("deduplicated"),
+        F.sum((F.col("popped") & adm & F.col("ok") & ~F.col("blacklisted")
+               & ~F.col("is_dup")).cast("long")).alias("crawled"),
+    )
+
+
 @register(
     "images_invariants",
     oracle=None,

@@ -271,6 +271,23 @@ def test_auto_robots_cache(spark):
     assert len(hosts) > 0
 
 
+def test_hot_host_salting_spreads_fetch(spark):
+    """Maximal skew (a single host owns every URL) must still fan the
+    fetch stage across multiple partitions — the salt column defuses
+    hot-host skew (north rule); per-partition lineage metrics prove it."""
+    synth = SynthConfig(n_hosts=1, pages_per_host=60, fanout=8)
+    eng = run_crawl(spark, seed_urls(synth), synth,
+                    CrawlConfig(max_depth=2, max_pages=60, salt_buckets=8))
+    per_round = {
+        r["round"]: r["n"]
+        for r in eng.metrics.groupBy("round")
+        .agg(F.countDistinct("partition_id").alias("n")).collect()
+    }
+    # at least one round with enough candidates used several partitions
+    assert max(per_round.values()) > 1, per_round
+    assert eng.stats["pages_crawled"] > 20
+
+
 def test_metrics_lineage(spark):
     """Per-partition lineage metrics (north rule): counters reconcile
     with the result table per round."""
