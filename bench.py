@@ -323,10 +323,16 @@ def main() -> None:
         return s
     spark.range(cpus * 10_000).repartition(cpus) \
         .select(_warm(F.col("id"))).write.format("noop").mode("overwrite").save()
-    # warm the intel pipeline's codegen + UDF imports at sf0.001 so the
-    # alphabetically-first headline query doesn't absorb one-time JVM
-    # compile/import cost (~3s) that belongs to no query in particular
-    all_queries()["a4_risk_histogram"].build(spark, "/root/testdata/sf0.001") \
+    # warm the intel pipeline's codegen + UDF imports at the smallest
+    # available SF so the alphabetically-first headline query doesn't
+    # absorb one-time JVM compile/import cost (~3s) that belongs to no
+    # query in particular.  Derived from the configured dir, not a
+    # hardcoded path (ADVICE r2): fall back to sf_dir itself if the
+    # sibling sf0.001 is absent.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    all_queries()["a4_risk_histogram"].build(spark, warm_dir) \
         .write.format("noop").mode("overwrite").save()
 
     qs = {n: q for n, q in all_queries().items() if q.bench}

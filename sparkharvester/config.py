@@ -110,6 +110,15 @@ def load_config(
 
         with open(config_path, encoding="utf-8") as fh:
             data = yaml.safe_load(fh) or {}
+        # a typo'd SECTION name must fail as loudly as a typo'd field
+        # (ADVICE r2: 'crawlers:' silently dropped an entire section)
+        known_top = {"crawler", "synth", "storage", "seed_urls", "log_level"}
+        unknown = set(data) - known_top
+        if unknown:
+            raise KeyError(
+                f"unknown top-level config key(s) {sorted(unknown)} "
+                f"(known: {sorted(known_top)})"
+            )
         _apply_dict(cfg.crawler, data.get("crawler", {}))
         _apply_dict(cfg.synth, data.get("synth", {}))
         _apply_dict(cfg.storage, data.get("storage", {}))

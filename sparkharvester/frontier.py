@@ -148,6 +148,52 @@ def _empty_frontier(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], FRONTIER_SCHEMA)
 
 
+def admit_per_host(
+    cand: DataFrame, tokens: int, buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-host politeness admission: keep the first *tokens* rows per
+    host in canonical ``(canon_url, seed_id)`` order; defer the rest.
+
+    Two-phase top-N (VERDICT r2 #1) so no single task ever sorts a hot
+    host's full candidate list:
+
+     1. LOCAL: ``row_number`` per ``(host, salt)`` — a host with 10^8
+        candidates in a round spreads over *buckets* parallel sorts —
+        keeping ≤ *tokens* rows per bucket;
+     2. GLOBAL: the exact per-host window runs over the ≤
+        tokens×buckets survivors only, so its per-host partition is
+        BOUNDED by tokens×buckets rows regardless of skew.
+
+    The admitted set is identical to the single-window top-*tokens*:
+    any row in the true per-host top-*tokens* ranks ≤ tokens inside its
+    own bucket (dropping rows never raises a rank), so it survives
+    phase 1; and phase 2 ranks over a subset, so rank₂ ≤ rank_global —
+    admitted.  Conversely a row with rank_global > tokens sees all true
+    top-*tokens* rows (which all survive phase 1) ahead of it in phase
+    2, so rank₂ > tokens — deferred.
+
+    Returns ``(admitted, deferred)``; both drop the helper columns and
+    preserve the input columns.
+    """
+    order = [F.col("canon_url"), F.col("seed_id")]
+    pre = cand.withColumn(
+        "__asalt", F.pmod(url_hash64(F.col("canon_url")), F.lit(buckets))
+    )
+    w_local = Window.partitionBy("host", "__asalt").orderBy(*order)
+    pre = pre.withColumn("__lrn", F.row_number().over(w_local))
+    survivors = pre.filter(F.col("__lrn") <= tokens)
+    w_host = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("__tok", F.row_number().over(w_host))
+    admitted = ranked.filter(F.col("__tok") <= tokens) \
+                     .drop("__asalt", "__lrn", "__tok")
+    deferred = (
+        pre.filter(F.col("__lrn") > tokens).drop("__asalt", "__lrn")
+        .unionByName(ranked.filter(F.col("__tok") > tokens)
+                     .drop("__asalt", "__lrn", "__tok"))
+    )
+    return admitted, deferred
+
+
 def run_crawl(
     spark: SparkSession,
     seeds: list[str],
@@ -194,6 +240,12 @@ def run_crawl(
                                  manifest["round"])
         seen_hashes = store.read_deltas(spark, "seen_hashes", HASHES_SCHEMA,
                                         manifest["round"])
+        # running seen-set size, carried in the manifest so bloom/cuckoo
+        # sizing never needs a per-round full scan (VERDICT r2 #7);
+        # one count() fallback for snapshots written before this field
+        seen_total = manifest.get("seen_total")
+        if seen_total is None:
+            seen_total = seen.count()
     else:
         start_round = 0
         valid = [u for u in seeds if is_valid_onion_py(u)]   # crawler.py:293
@@ -210,6 +262,7 @@ def run_crawl(
         )
         init_seen_pending = seen
         seen_hashes = spark.createDataFrame([], HASHES_SCHEMA)
+        seen_total = n_seeds * len(known)
 
     fetch_stage = make_fetch_stage(synth_cfg)
     robots = cfg.robots or {}
@@ -252,9 +305,19 @@ def run_crawl(
             frontier_exhausted = True
             break
         depth = int(head)
-        cand = live.filter(F.col("depth") == depth) \
-                   .dropDuplicates(["seed_id", "canon_url"]) \
-                   .drop("not_before")
+        # deterministic dedup (ADVICE r2): a parked retry row and a
+        # rediscovered retry_no=0 copy of the same URL can both be live
+        # at this depth — keep MAX(retry_no) so the retry row always
+        # wins, instead of dropDuplicates' partition-order-dependent pick
+        # (the fetch outcome depends on retry_no via the transient-heal
+        # threshold, so an arbitrary pick breaks exact resume).
+        cand = (
+            live.filter(F.col("depth") == depth)
+            .groupBy("seed_id", "canon_url")
+            .agg(F.max("retry_no").alias("retry_no"))
+            .withColumn("depth", F.lit(depth).cast("int"))
+            .select("seed_id", "canon_url", "depth", "retry_no")
+        )
 
         # visited gate: bloom/cuckoo prefilter (optional) + exact
         # anti-join (D2/F6) — both filters are definitely-unseen fast
@@ -265,7 +328,9 @@ def run_crawl(
                 "probe_key", F.concat(F.col("seed_id").cast("string"),
                                       F.lit("|"), F.col("canon_url"))
             )
-            n_seen = seen.count()
+            # exact running count maintained driver-side (deltas are
+            # disjoint by construction) — no per-round seen.count() scan
+            n_seen = seen_total
             if n_seen > 0:
                 if cfg.use_cuckoo:
                     probe = cuckoo_probe_udf(
@@ -294,16 +359,15 @@ def run_crawl(
         )
         deferred = None
         if cfg.host_tokens_per_round is not None:
-            w_host = Window.partitionBy("host").orderBy("canon_url", "seed_id")
-            flagged = cand.withColumn("__tok", F.row_number().over(w_host))
-            deferred = (
-                flagged.filter(F.col("__tok") > cfg.host_tokens_per_round)
-                .select("seed_id", "canon_url", "depth", "retry_no",
-                        F.lit(0).alias("not_before"))
+            # two-phase top-N admission: no single task sorts a hot
+            # host's full candidate list (VERDICT r2 #1) — see
+            # admit_per_host for the exactness argument.
+            cand, rejected = admit_per_host(
+                cand, cfg.host_tokens_per_round, cfg.salt_buckets)
+            deferred = rejected.select(
+                "seed_id", "canon_url", "depth", "retry_no",
+                F.lit(0).alias("not_before"),
             )
-            cand = flagged.filter(
-                F.col("__tok") <= cfg.host_tokens_per_round
-            ).drop("__tok")
             # deferred rows re-enter the frontier at the same depth below —
             # ≥ crawl_delay spacing between same-host fetches is modelled as
             # at most `tokens` admissions per host per virtual round (I4).
@@ -551,6 +615,10 @@ def run_crawl(
         for s, (succ, np_) in per_seed.items():
             counts[s] += int(succ or 0)
             pops[s] += int(np_)
+        # seen delta == popped rows (unique per (seed_id, canon_url) and
+        # disjoint from prior rounds via the anti-join), so the running
+        # total advances by exactly this round's pops
+        seen_total += sum(int(np_) for _, np_ in per_seed.values())
 
         # ---- snapshot commit (lineage truncation + exact resume) -------------
         # Accumulating tables commit O(delta) appends, not full rewrites
@@ -581,6 +649,7 @@ def run_crawl(
             "counts": {str(k): v for k, v in counts.items()},
             "pops": {str(k): v for k, v in pops.items()},
             "synth_seed": synth_cfg.seed,
+            "seen_total": seen_total,
         })
         round_no += 1
         if cfg.stop_after_round is not None and round_no > cfg.stop_after_round:
@@ -610,9 +679,14 @@ def run_crawl(
 
     # canonical global sequence (SURVEY §3.1): (depth, canon_url, seed_id),
     # assigned scalably — range-partitioned local numbering + broadcast
-    # offsets instead of a single-task global window (VERDICT r1 #1)
-    pages_final = attach_global_seq(pages, ["depth", "url", "seed_id"], "seq") \
-        .withColumn("seq", F.col("seq").cast("int"))
+    # offsets instead of a single-task global window (VERDICT r1 #1).
+    # The page count is known exactly from the driver counters, so small
+    # outputs take the plain window (ADVICE r2: the scalable path's eager
+    # checkpoint + counts job cost ~20% crawl throughput at CLI sizes).
+    pages_final = attach_global_seq(
+        pages, ["depth", "url", "seed_id"], "seq",
+        known_count=sum(counts.values()),
+    ).withColumn("seq", F.col("seq").cast("int"))
     stats = {
         "sites_crawled": n_seeds,
         **{

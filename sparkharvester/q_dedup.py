@@ -35,8 +35,18 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from .registry import register
 from .session import load, load_spread
+
+# Shingle caches persist DISK_ONLY (VERDICT r2 #6): a full-table cache of
+# shingle arrays at 100 TB would evict or starve execution memory under
+# the default MEMORY_AND_DISK level; DISK_ONLY keeps the single-pass
+# shingling benefit (the pandas shingler is the dominant per-doc cost)
+# with zero storage-memory pressure.  Measured at sf0.1 (BENCH/BASELINE.md
+# r3): within noise of the memory cache for these queries.
+_SHINGLE_CACHE_LEVEL = StorageLevel.DISK_ONLY
 
 MINHASH_K = 16
 LSH_BANDS = 4           # 4 bands x 4 rows
@@ -374,8 +384,9 @@ WHERE jac >= {JACCARD_THRESHOLD}
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cached shingling pass feeds BOTH the index build and the
     # verify-side shingle sets (the pandas shingler is the dominant
-    # per-doc cost; without the cache it runs twice)
-    shingled = _docs_shingled(spark, sf_dir).cache()
+    # per-doc cost; without the cache it runs twice); DISK_ONLY so the
+    # full-table shingle arrays never occupy executor storage memory
+    shingled = _docs_shingled(spark, sf_dir).persist(_SHINGLE_CACHE_LEVEL)
     cand = _lsh_candidates(shingled)
     sets = shingled.select(
         "doc_id", F.array_distinct("shingles").alias("sh")
@@ -409,48 +420,105 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge, self-loops dropped, deduped."""
+    return (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """large-star: each node u links its LARGER neighbors to
+    m = min(N(u) ∪ {u}).  One groupBy + one join, both on node id."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn")) \
+              .select("u", F.least("mn", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """small-star: each node u links its smaller neighbors AND itself to
+    m = min of those smaller neighbors."""
+    smaller = sym.filter(F.col("v") < F.col("u"))
+    mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        smaller.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u").alias("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 30,
+                         rounds_out: list | None = None) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
-    Deterministic: min-label propagation to a fixpoint (the driver
-    checks convergence per round — bounded by component diameter).
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log² n) rounds INDEPENDENT OF COMPONENT DIAMETER (VERDICT r2 #8:
+    the previous min-label propagation needed O(diameter) Spark jobs, so
+    a 10^4-long near-dup chain ran 10^4 rounds; a 1000-link chain now
+    closes in ≤ ~15 — tests/test_lsh_verified.py asserts the bound).
+    Each round is two node-keyed groupBy/join pairs with localCheckpoint
+    lineage truncation; deterministic (min is order-free).
+
+    *rounds_out*: optional list; the number of star rounds executed is
+    appended (test/diagnostic hook).
     """
-    edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # nodes come from the RAW pairs: a self-loop-only node is its own
+    # singleton component, not absent from the output
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src").agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
-        )
+        rounds += 1
+        after_large = _large_star(_symmetric(edges)).localCheckpoint()
+        after_small = _small_star(_symmetric(after_large)).localCheckpoint()
+        # converged when the (canonicalized) edge set is stable: at the
+        # fixpoint every edge points directly at its component's min
+        canon_old = edges.select(F.greatest("u", "v").alias("hi"),
+                                 F.least("u", "v").alias("lo")).distinct()
+        canon_new = after_small.select(F.greatest("u", "v").alias("hi"),
+                                       F.least("u", "v").alias("lo")).distinct()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            canon_new.exceptAll(canon_old)
+            .unionByName(canon_old.exceptAll(canon_new))
             .limit(1).count()
         )
-        labels = new_labels
+        edges = after_small
         if changed == 0:
             break
-    return labels.select("node", F.col("label").alias("component"))
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # at the fixpoint the graph is a union of stars centered on each
+    # component's min: label = min(neighbors ∪ self)
+    sym = _symmetric(edges)
+    labels = (
+        nodes.join(sym, nodes.node == sym.u, "left")
+        .groupBy("node")
+        .agg(F.least(F.min("v"), F.first("node")).alias("component"))
+    )
+    return labels.select("node", "component")
 
 
 def _components_sql() -> str:
@@ -616,11 +684,13 @@ WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= {JACCARD_THRESHOLD}
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: referenced by the hot-shingle scan AND both self-join sides
+    # (DISK_ONLY — see _SHINGLE_CACHE_LEVEL)
     sh0 = _docs_shingled(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
-    ).cache()
+    ).persist(_SHINGLE_CACHE_LEVEL)
     hot = sh0.groupBy("s").count().filter(F.col("count") > DF_CAP).select("s")
-    sh = sh0.join(F.broadcast(hot), "s", "left_anti").cache()
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti") \
+            .persist(_SHINGLE_CACHE_LEVEL)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -138,6 +138,8 @@ def ivf_fit(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("ivf_fit: embeddings table is empty")
     C = np.array([list(r["embedding"]) for r in init], dtype=np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     dim = C.shape[1]
@@ -198,6 +200,23 @@ def ivf_search(
     )
 
 
+def _ivf_query(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF query path; empty-table guard returns an empty result
+    with the output schema instead of crashing on the pivot collect
+    (ADVICE r2)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pivot_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not pivot_rows:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    pivot = pivot_rows[0]
+    centroids = ivf_fit(emb)
+    assigned = ivf_assign(emb, centroids)
+    return ivf_search(
+        assigned, centroids, list(pivot["embedding"]), nprobe=nprobe,
+        exclude_vec_id=int(pivot["vec_id"]),
+    )
+
+
 @register(
     "sim_ivf_ann",
     oracle=None,  # iterative float k-means — recall vs brute force is
@@ -206,11 +225,27 @@ def ivf_search(
         f"init), nprobe={IVF_NPROBE} bucket probe + in-bucket top-{TOP_K}",
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = ivf_fit(emb)
-    assigned = ivf_assign(emb, centroids)
-    pivot = emb.orderBy("vec_id").limit(1).collect()[0]
-    return ivf_search(
-        assigned, centroids, list(pivot["embedding"]),
-        exclude_vec_id=int(pivot["vec_id"]),
-    )
+    return _ivf_query(spark, sf_dir, nprobe=IVF_NPROBE)
+
+
+@register(
+    "sim_ivf_exhaustive",
+    # probing ALL K buckets makes IVF exactly the brute-force scan, so
+    # the brute-force oracle applies verbatim (VERDICT r2 #5) — this
+    # gives the ANN family a driver-checkable correctness row on top of
+    # the pytest recall/identity checks.
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+)
+SELECT vec_id, round({_cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+""",
+    doc=f"IVF with nprobe=K={IVF_K} (exhaustive probe) — must equal the "
+        f"brute-force top-{TOP_K}; oracle reuses the sim_cosine_topk SQL",
+)
+def sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_query(spark, sf_dir, nprobe=IVF_K)

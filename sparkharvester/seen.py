@@ -167,7 +167,19 @@ class CuckooFilter:
                 | (self.table[b2] == col).any(axis=1))
 
     def delete_series(self, values: pd.Series) -> np.ndarray:
-        """Remove one stored copy per present value; returns found-mask."""
+        """Remove one stored copy per present value; returns found-mask.
+
+        SAFETY CONTRACT (standard cuckoo-filter caveat, ADVICE r2):
+        delete is only safe for keys KNOWN to have been inserted.
+        Deleting a never-inserted key whose fingerprint collides with a
+        stored key's (in a shared bucket) silently removes the other
+        key's entry — reintroducing false negatives while ``overflow``
+        stays False, which breaks the no-false-negatives contract.
+        Callers must either track insertions (the crawl's re-enqueue
+        path deletes only keys it previously marked seen) or guard with
+        ``contains_series`` AND tolerate the collision case; when in
+        doubt, rebuild the filter instead of deleting.
+        """
         fp, b1, b2 = self._fp_b1_b2(values)
         out = np.zeros(len(values), dtype=bool)
         for i in range(len(values)):

@@ -25,19 +25,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+# Below this row count the single-task global window is CHEAPER than the
+# range-shuffle + localCheckpoint + counts-job machinery (ADVICE r2: the
+# eager checkpoint cost the crawl path ~20% at CLI-sized outputs).  A few
+# million small rows sort in one task in well under a second; the
+# scalable path only wins when the table is genuinely too big for that.
+SEQ_WINDOW_THRESHOLD = 2_000_000
+
+
 def attach_global_seq(
     df: DataFrame,
     order_cols: list[str],
     out_col: str = "seq",
     num_partitions: int | None = None,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Equivalent of ``row_number().over(Window.orderBy(*order_cols))``
     (1-based, total order) without the single-task global window.
 
     Ties across partition boundaries get an arbitrary relative order —
     pass a key that is unique per row for deterministic output.
+
+    *known_count*: row count already known driver-side (e.g. from crawl
+    counters).  When it is ≤ ``SEQ_WINDOW_THRESHOLD`` the plain window
+    runs instead — identical output, none of the checkpoint/extra-job
+    overhead that only pays for itself at large scale.
     """
     spark = df.sparkSession
+    if known_count is not None and known_count <= SEQ_WINDOW_THRESHOLD:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(out_col,
+                             F.row_number().over(w).cast(LongType()))
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 

@@ -188,6 +188,51 @@ def test_politeness_and_retries_compose(spark):
     assert both.rounds >= retry_only.rounds
 
 
+def test_two_phase_admission_exact_and_bounded(spark):
+    """Maximal skew for the politeness ADMISSION window (VERDICT r2 #1):
+    one host owning 10^5 candidates.  The two-phase top-N must (a) admit
+    exactly the single-window top-N set, and (b) bound the exact global
+    window's per-host input to ≤ tokens×buckets rows — no task ever
+    sorts the hot host's full candidate list."""
+    from pyspark.sql.window import Window
+
+    from sparkharvester.frontier import admit_per_host
+    from sparkharvester.urlnorm import url_hash64
+
+    n, tokens, buckets = 100_000, 5, 8
+    rows = [(i % 4, f"http://hotonionhost.onion/p{i:06d}", 1, 0)
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "seed_id int, canon_url string, depth int, retry_no int"
+    ).withColumn("host", F.lit("hotonionhost.onion")).repartition(16)
+
+    admitted, deferred = admit_per_host(df, tokens, buckets)
+    w = Window.partitionBy("host").orderBy("canon_url", "seed_id")
+    ref = {
+        (r["seed_id"], r["canon_url"])
+        for r in df.withColumn("__tok", F.row_number().over(w))
+        .filter(F.col("__tok") <= tokens).collect()
+    }
+    got = {(r["seed_id"], r["canon_url"]) for r in admitted.collect()}
+    assert got == ref
+    # complement: every candidate is admitted XOR deferred, exactly once
+    assert admitted.count() == tokens
+    assert deferred.count() == n - tokens
+    # bounded phase-2 input: per-host phase-1 survivors ≤ tokens×buckets
+    # (replicates admit_per_host's phase-1 expressions)
+    w_local = Window.partitionBy("host", "__asalt").orderBy(
+        "canon_url", "seed_id")
+    survivors_per_host = (
+        df.withColumn("__asalt",
+                      F.pmod(url_hash64(F.col("canon_url")), F.lit(buckets)))
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= tokens)
+        .groupBy("host").count().collect()
+    )
+    assert all(r["count"] <= tokens * buckets for r in survivors_per_host)
+    assert max(r["count"] for r in survivors_per_host) > tokens  # >1 bucket
+
+
 def test_global_seq_matches_window(spark):
     """attach_global_seq == row_number over a global ORDER BY window."""
     from pyspark.sql.window import Window
@@ -208,6 +253,14 @@ def test_global_seq_matches_window(spark):
                                    num_partitions=11).collect()
     }
     assert got == expected
+    # the small-output fast path (known_count ≤ threshold → plain window)
+    # must produce the identical numbering
+    fast = {
+        (r["a"], r["b"], r["c"]): r["seq"]
+        for r in attach_global_seq(df, ["c", "b", "a"], "seq",
+                                   known_count=997).collect()
+    }
+    assert fast == expected
 
 
 def test_robots_gating(spark):
