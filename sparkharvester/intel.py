@@ -258,6 +258,21 @@ def with_intel(df: DataFrame, text_col: str = "text") -> DataFrame:
     return with_threat(with_iocs(df, text_col), text_col)
 
 
+def ioc_data_column() -> Column:
+    """Reference-parity ``ioc_data`` JSON blob for the durable results
+    table (storage.py:25-41 schema, storage.py:130 serialization):
+    the per-row IOC dict in ``IOCs.as_dict()`` key order
+    (intelligence.py:164-179, urls capped to 20 there).  Computed from
+    the typed columns ``with_iocs`` produced — pure codegen
+    ``to_json(struct(...))``, no second regex pass."""
+    return F.to_json(F.struct(
+        *[(F.slice(F.col(t), 1, 20) if t == "urls" else F.col(t)).alias(t)
+          for t in IOC_LIST_FIELDS],
+        F.col("pgp_present").alias("pgp_present"),
+        F.col("ioc_total").alias("total"),
+    ))
+
+
 def risk_label_expr(risk: Column) -> Column:
     """Re-label from a (possibly aggregated) risk score — report.py:571-576."""
     chain = None

@@ -262,6 +262,235 @@ def crawl_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TWO materialized BFS rounds, oracle-checked (VERDICT r2 #4): links of
+# round 0 feed the candidates of round 1, the seen set and the per-seed
+# page budget ACCUMULATE across rounds, and content dedup spans rounds
+# (a round-1 page whose hash was crawled in round 0 is a dup) — the
+# crawl loop's cross-round semantics (frontier.py round loop,
+# crawler.py:214-273) as chained CTEs, the way graph_pagerank unrolls
+# iterations.  The fetch and the link extractor are the same
+# md5-arithmetic stand-ins crawl_round_gates uses, so every gate stays
+# SQL-expressible; link fan-out derives child URLs from
+# md5(parent, k) — a pure function both engines compute identically.
+# Parity-mode semantics (no politeness): one round per depth; dedup
+# losers still propagate links (D1).
+# ---------------------------------------------------------------------------
+
+_B2_SEEDS = 3       # seed crawls
+_B2_CAP = 8         # per-seed page budget across BOTH rounds
+_B2_FANOUT = 4      # links per crawled page
+_B2_CHILD_MOD = 100_000   # child URL id space
+
+
+def _b2_sql() -> str:
+    def h(prefix: str, col: str = "canon_url") -> str:
+        return (f"(CAST('0x' || substr(md5('{prefix}' || {col}), 1, 15) "
+                "AS BIGINT))")
+
+    def gates(cand: str) -> str:
+        """flags + content hash for one round's candidate CTE."""
+        return f"""
+  SELECT seed_id, canon_url,
+         {is_blacklisted_sql('canon_url')} AS blacklisted,
+         ({h('fetch/')} % 100) >= 5 AS ok,
+         {h('dup/')} AS hd
+  FROM {cand}
+"""
+
+    hash_case = ("CASE WHEN ok AND NOT blacklisted THEN "
+                 "sha256(CASE WHEN hd % 100 < 30 "
+                 "THEN 'shared dup ' || CAST(hd % 5 AS VARCHAR) "
+                 "ELSE 'unique ' || canon_url END) END")
+    succ = "ok AND NOT blacklisted AND NOT is_dup"
+    cum = (f"coalesce(sum(CASE WHEN {succ} THEN 1 ELSE 0 END) "
+           "OVER (PARTITION BY seed_id ORDER BY canon_url "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")
+    return f"""
+WITH r1url AS (
+  SELECT CAST(doc_id % {_B2_SEEDS} AS INT) AS seed_id,
+         {synth_url_sql()} AS url
+  FROM documents WHERE doc_id % 11 = 0
+),
+r1cand AS (
+  SELECT DISTINCT seed_id, {canonicalize_sql('url')} AS canon_url
+  FROM r1url
+  WHERE NOT {is_junk_href_sql('url')} AND {is_valid_onion_sql('url')}
+),
+r1flag AS ({gates('r1cand')}),
+r1hash AS (SELECT *, {hash_case} AS content_hash FROM r1flag),
+r1dd AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash
+                               ORDER BY canon_url, seed_id) AS rn
+  FROM r1hash
+),
+r1dd2 AS (SELECT *, (ok AND NOT blacklisted AND rn > 1) AS is_dup FROM r1dd),
+r1 AS (
+  SELECT *, ({cum}) < {_B2_CAP} AS popped
+  FROM r1dd2
+),
+seen1 AS (SELECT seed_id, canon_url FROM r1 WHERE popped),
+crawled1 AS (
+  SELECT seed_id,
+         sum(CASE WHEN popped AND {succ} THEN 1 ELSE 0 END) AS c1
+  FROM r1 GROUP BY seed_id
+),
+hashes1 AS (
+  SELECT DISTINCT content_hash FROM r1 WHERE popped AND {succ}
+),
+links AS (
+  SELECT r.seed_id,
+         ({h('child/', "r.canon_url || '/' || CAST(t.k AS VARCHAR)")}
+          % {_B2_CHILD_MOD}) AS child_id
+  FROM r1 r, unnest([{', '.join(str(k) for k in range(_B2_FANOUT))}]) AS t(k)
+  WHERE r.popped AND r.ok AND NOT r.blacklisted
+),
+r2url AS (SELECT seed_id, {synth_url_sql('child_id')} AS url FROM links),
+r2cand AS (
+  SELECT DISTINCT seed_id, {canonicalize_sql('url')} AS canon_url
+  FROM r2url
+  WHERE NOT {is_junk_href_sql('url')} AND {is_valid_onion_sql('url')}
+),
+r2new AS (
+  SELECT c.* FROM r2cand c
+  WHERE NOT EXISTS (SELECT 1 FROM seen1 s
+                    WHERE s.seed_id = c.seed_id
+                      AND s.canon_url = c.canon_url)
+),
+r2flag AS ({gates('r2new')}),
+r2hash AS (SELECT *, {hash_case} AS content_hash FROM r2flag),
+r2dd AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash
+                               ORDER BY canon_url, seed_id) AS rn
+  FROM r2hash
+),
+r2dd2 AS (
+  SELECT *, (ok AND NOT blacklisted
+             AND (rn > 1 OR content_hash IN (SELECT content_hash
+                                             FROM hashes1))) AS is_dup
+  FROM r2dd
+),
+r2 AS (
+  SELECT d.*,
+         ({cum}) < {_B2_CAP} - coalesce(c.c1, 0) AS popped
+  FROM r2dd2 d LEFT JOIN crawled1 c USING (seed_id)
+)
+SELECT 0 AS round, seed_id, canon_url, blacklisted, ok, is_dup, popped FROM r1
+UNION ALL
+SELECT 1 AS round, seed_id, canon_url, blacklisted, ok, is_dup, popped FROM r2
+"""
+
+
+def _b2_h(col, prefix: str):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 15), 16, 10,
+    ).cast("long")
+
+
+def _b2_gates(cand: DataFrame, prev_hashes: DataFrame | None) -> DataFrame:
+    """One round's gate pipeline over (seed_id, canon_url) candidates:
+    blacklist, md5 fetch outcome, content hash, dedup window — plus the
+    cross-round hash check when *prev_hashes* is given."""
+    flagged = (
+        cand.withColumn("blacklisted", is_blacklisted(F.col("canon_url")))
+        .withColumn("ok", (_b2_h(F.col("canon_url"), "fetch/") % 100) >= 5)
+        .withColumn("hd", _b2_h(F.col("canon_url"), "dup/"))
+    )
+    eligible = F.col("ok") & ~F.col("blacklisted")
+    text = F.when(
+        F.col("hd") % 100 < 30,
+        F.concat(F.lit("shared dup "), (F.col("hd") % 5).cast("string")),
+    ).otherwise(F.concat(F.lit("unique "), F.col("canon_url")))
+    hashed = flagged.withColumn("content_hash",
+                                F.when(eligible, F.sha2(text, 256)))
+    w_hash = Window.partitionBy("content_hash").orderBy("canon_url", "seed_id")
+    dd = hashed.withColumn("rn", F.row_number().over(w_hash))
+    dup = eligible & (F.col("rn") > 1)
+    if prev_hashes is not None:
+        dd = dd.join(
+            F.broadcast(prev_hashes.withColumnRenamed("content_hash",
+                                                      "__prev")),
+            F.col("content_hash") == F.col("__prev"), "left",
+        )
+        dup = eligible & ((F.col("rn") > 1) | F.col("__prev").isNotNull())
+        dd = dd.withColumn("is_dup", dup).drop("__prev")
+    else:
+        dd = dd.withColumn("is_dup", dup)
+    return dd
+
+
+def _b2_candidates(urls: DataFrame) -> DataFrame:
+    """(seed_id, url) → filtered, canonicalized, distinct candidates."""
+    return (
+        urls.filter(~is_junk_href(F.col("url")) & is_valid_onion(F.col("url")))
+        .select("seed_id", canonicalize_expr(F.col("url")).alias("canon_url"))
+        .distinct()
+    )
+
+
+@register(
+    "crawl_two_rounds",
+    oracle=_b2_sql(),
+    doc="TWO unrolled BFS rounds: round-0 links feed round-1 candidates, "
+        "seen set / page budget / content-hash dedup accumulate across "
+        "rounds (frontier.py round-loop semantics, crawler.py:214-273), "
+        "oracle-replayable as chained CTEs",
+)
+def crawl_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    succ = F.col("ok") & ~F.col("blacklisted") & ~F.col("is_dup")
+    w_seed = Window.partitionBy("seed_id").orderBy("canon_url")
+    cum = F.coalesce(
+        F.sum(succ.cast("int")).over(
+            w_seed.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    r1url = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.pmod(F.col("doc_id"), F.lit(_B2_SEEDS)).cast("int").alias("seed_id"),
+        synth_url_spark(F.col("doc_id")).alias("url"),
+    )
+    r1 = _b2_gates(_b2_candidates(r1url), prev_hashes=None) \
+        .withColumn("popped", cum < _B2_CAP)
+
+    seen1 = r1.filter(F.col("popped")).select("seed_id", "canon_url")
+    crawled1 = r1.groupBy("seed_id").agg(
+        F.sum((F.col("popped") & succ).cast("int")).alias("c1"))
+    hashes1 = r1.filter(F.col("popped") & succ) \
+                .select("content_hash").distinct()
+
+    # D1: dedup losers still propagate links — parents are popped ∧ ok ∧
+    # ¬blacklisted, dups included (frontier.py link_src/popped_parents)
+    links = (
+        r1.filter(F.col("popped") & F.col("ok") & ~F.col("blacklisted"))
+        .select("seed_id", "canon_url")
+        .withColumn("k", F.explode(F.sequence(F.lit(0),
+                                              F.lit(_B2_FANOUT - 1))))
+        .select(
+            "seed_id",
+            (_b2_h(F.concat(F.col("canon_url"), F.lit("/"),
+                            F.col("k").cast("string")), "child/")
+             % _B2_CHILD_MOD).alias("child_id"),
+        )
+    )
+    r2url = links.select("seed_id",
+                         synth_url_spark(F.col("child_id")).alias("url"))
+    r2new = _b2_candidates(r2url).join(seen1, ["seed_id", "canon_url"],
+                                       "left_anti")
+    r2 = (
+        _b2_gates(r2new, prev_hashes=hashes1)
+        .join(F.broadcast(crawled1), "seed_id", "left")
+        .withColumn("popped",
+                    cum < (F.lit(_B2_CAP) - F.coalesce("c1", F.lit(0))))
+    )
+
+    cols = ["seed_id", "canon_url", "blacklisted", "ok", "is_dup", "popped"]
+    return (
+        r1.select(F.lit(0).alias("round"), *cols)
+        .unionByName(r2.select(F.lit(1).alias("round"), *cols))
+    )
+
+
 @register(
     "images_invariants",
     oracle=None,
