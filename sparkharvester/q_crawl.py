@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .enrich import synth_url_spark, synth_url_sql
-from .frontier import CrawlConfig, run_crawl
+from .frontier import CrawlConfig, admit_per_host, run_crawl
 from .images import check_invariants, make_images_df
 from .registry import register
 from .session import load
@@ -187,9 +187,14 @@ def crawl_round_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.withColumn(
         "host", F.regexp_extract("canon_url", r"^https?://([^/]+)", 1)
     )
-    w_host = Window.partitionBy("host").orderBy("canon_url", "seed_id")
-    cand = cand.withColumn(
-        "admitted", F.row_number().over(w_host) <= _RG_TOKENS   # I4 bucket
+    # I4 bucket via the engine's TWO-PHASE admission (frontier.py
+    # admit_per_host) — the DuckDB oracle uses the plain single window,
+    # so this oracle row doubles as a correctness proof that the
+    # two-phase top-N admits the identical set
+    adm, deferred = admit_per_host(cand, _RG_TOKENS, buckets=8)
+    cand = (
+        adm.withColumn("admitted", F.lit(True))
+        .unionByName(deferred.withColumn("admitted", F.lit(False)))
     ).withColumn("blacklisted", is_blacklisted(F.col("canon_url")))  # F2
 
     def _h(prefix: str):
