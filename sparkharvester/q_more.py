@@ -372,3 +372,145 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= _EMB_T)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IMAGE near-dup via perceptual-hash Hamming distance (payload axis):
+# the phash column of the input-hint images table (images.py phash64),
+# deduped the way an image-crawl pipeline dedupes — banded Hamming LSH.
+# 60-bit hashes split into 4x15-bit bands; by pigeonhole, any pair with
+# Hamming distance <= 3 agrees on at least one whole band, so the
+# band-equality bucket join has EXACT recall at the <= 3 threshold.
+# Verification is bit_count(xor) on the candidate pairs only.
+#
+# Scale (10^10 images): bands are md5-uniform, so buckets are balanced;
+# the self-join never goes all-pairs — same physics as dedup_minhash_lsh.
+# The driver tables carry no binary image payloads, so phashes are
+# derived deterministically from doc_id with injected near-copies
+# (<= 2 bits flipped), computed identically in both dialects.
+# ---------------------------------------------------------------------------
+
+_PH_COPY_EVERY = 10      # every 10th image gets a near-copy
+_PH_OFFSET = 1_000_000   # near-copy id offset
+_PH_T = 3                # Hamming threshold
+_PH_BANDS, _PH_BITS = 4, 15
+
+
+def _phash_pairs_sql() -> str:
+    flip1 = "(1::BIGINT << CAST(b.img_id % 59 AS INT))"
+    flip2 = ("CASE WHEN b.img_id % 3 = 0 THEN "
+             "(1::BIGINT << CAST(b.img_id % 53 + 1 AS INT)) "
+             "ELSE 0::BIGINT END")
+    bands = " UNION ALL ".join(
+        f"SELECT img_id, {i} AS band_id, "
+        f"(ph >> {_PH_BITS * i}) & {(1 << _PH_BITS) - 1} AS band_val "
+        "FROM allph"
+        for i in range(_PH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS img_id,
+         CAST('0x' || substr(md5('ph/' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS ph
+  FROM documents
+),
+copies AS (
+  SELECT b.img_id + {_PH_OFFSET} AS img_id,
+         xor(xor(b.ph, {flip1}), {flip2}) AS ph
+  FROM base b WHERE b.img_id % {_PH_COPY_EVERY} = 0
+),
+allph AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.img_id < b.img_id
+)
+SELECT c.img_a, c.img_b,
+       CAST(bit_count(xor(x.ph, y.ph)) AS INT) AS hamming
+FROM cand c
+JOIN allph x ON x.img_id = c.img_a
+JOIN allph y ON y.img_id = c.img_b
+WHERE bit_count(xor(x.ph, y.ph)) <= {_PH_T}
+"""
+
+
+@register(
+    "dedup_phash_hamming",
+    oracle=_phash_pairs_sql(),
+    doc=f"image near-dup pairs via phash: {_PH_BANDS}x{_PH_BITS}-bit "
+        f"banded Hamming LSH (exact recall at Hamming <= {_PH_T} by "
+        "pigeonhole) + bit_count(xor) verify on candidates only "
+        "(images.py phash64 column of the input-hint table)",
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("img_id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ph/"), F.col("doc_id").cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("long").alias("ph"),
+    )
+    # staged withColumn (not one select): flips must bind to the ORIGINAL
+    # img_id, and a single select's lateral-column-alias resolution would
+    # bind them to the shifted alias (see dedup_embedding_pairs note)
+    copies = (
+        base.filter(F.col("img_id") % _PH_COPY_EVERY == 0)
+        .withColumn(
+            "ph",
+            F.expr("ph ^ shiftleft(cast(1 as bigint), "
+                   "cast(img_id % 59 as int))"
+                   " ^ (CASE WHEN img_id % 3 = 0 THEN "
+                   "shiftleft(cast(1 as bigint), "
+                   "cast(img_id % 53 + 1 as int)) ELSE cast(0 as bigint) "
+                   "END)"),
+        )
+        .select((F.col("img_id") + _PH_OFFSET).alias("img_id"), "ph")
+    )
+    allph = base.unionByName(copies)
+
+    return phash_hamming_pairs(allph)
+
+
+def phash_hamming_pairs(allph: DataFrame, threshold: int = _PH_T) -> DataFrame:
+    """Banded Hamming LSH over an ``(img_id, ph)`` table → near-dup
+    pairs ``(img_a, img_b, hamming)`` with hamming ≤ *threshold*.
+
+    Exact recall for threshold ≤ {bands-1}: a pair within the threshold
+    agrees on ≥ 1 whole band (pigeonhole), so the bucket join finds it.
+    Works on any phash source — the images.py phash64 column included
+    (tests/test_images.py runs it over real encoded payloads)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.expr(f"shiftright(ph, {_PH_BITS * i}) "
+                   f"& {(1 << _PH_BITS) - 1}").alias("band_val"),
+        )
+        for i in range(_PH_BANDS)
+    ])
+    bands = allph.select(
+        "img_id", F.explode(band_structs).alias("b")
+    ).select("img_id", "b.band_id", "b.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(F.col("a.img_id").alias("img_a"),
+                F.col("b.img_id").alias("img_b"))
+        .distinct()
+    )
+    x = allph.select(F.col("img_id").alias("img_a"), F.col("ph").alias("ph_a"))
+    y = allph.select(F.col("img_id").alias("img_b"), F.col("ph").alias("ph_b"))
+    return (
+        cand.join(x, "img_a").join(y, "img_b")
+        .withColumn("hamming", F.expr("cast(bit_count(ph_a ^ ph_b) as int)"))
+        .filter(F.col("hamming") <= threshold)
+        .select("img_a", "img_b", "hamming")
+    )

@@ -109,3 +109,34 @@ def test_sample_frames(spark):
                    .reshape(m["h"], m["w"], 3)
             assert np.array_equal(
                 px, synth_pixels(f"{vid}/f{r['frame_idx']}", m["w"], m["h"]))
+
+
+def test_phash_hamming_pairs_over_payloads(spark):
+    """Banded Hamming LSH over REAL encoded payloads: duplicate image
+    bytes under new ids decode to identical pixels, hence identical
+    phash64, and the bucket join surfaces exactly those pairs at
+    hamming 0 — the image-dedup path of a crawl pipeline, end to end
+    (payload -> decode -> phash -> LSH)."""
+    from pyspark.sql import functions as F
+
+    from sparkharvester.images import make_images_df
+    from sparkharvester.q_more import phash_hamming_pairs
+
+    imgs = make_images_df(spark, n=24)
+    # byte-identical copies (same pixels, new numeric id space)
+    allph = (
+        imgs.select(F.expr("cast(substring(image_id, 5) as long)")
+                    .alias("img_id"), F.col("phash").alias("ph"))
+        .unionByName(
+            imgs.filter(F.expr("cast(substring(image_id, 5) as long) % 3 = 0"))
+            .select((F.expr("cast(substring(image_id, 5) as long)")
+                     + F.lit(1000)).alias("img_id"),
+                    F.col("phash").alias("ph"))
+        )
+    )
+    pairs = {(r["img_a"], r["img_b"]): r["hamming"]
+             for r in phash_hamming_pairs(allph, threshold=0).collect()}
+    expected = {(i, i + 1000): 0 for i in range(0, 24, 3)}
+    # every duplicate pair found at hamming 0; random 64-bit phashes of
+    # distinct images never collide at hamming 0
+    assert pairs == expected
