@@ -62,7 +62,7 @@ from .seen import (
     build_cuckoo,
     cuckoo_probe_udf,
 )
-from .seq import attach_global_seq
+from .seq import attach_global_seq, attach_grouped_prefix
 from .storage import SnapshotStore
 from .synth import FETCH_SCHEMA, SynthConfig, make_fetch_stage
 from .urlnorm import (
@@ -95,6 +95,12 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     stop_after_round: int | None = None   # I6 analog: simulate interruption
     auto_robots: bool = False   # fetch-once-per-host robots cache table
+    # 10^10-scale option: per-seed cap/pop windows via range-partitioned
+    # prefix sums (seq.attach_grouped_prefix) instead of one window task
+    # per seed — identical results (pytest-asserted); default off because
+    # the extra checkpoint+stats job per round only pays when a single
+    # seed's round candidates outgrow one task (cf. the bloom toggle)
+    scalable_cap_window: bool = False
 
 
 @dataclass
@@ -506,11 +512,18 @@ def run_crawl(
             "seed_id int, cap_left int, pop_offset int",
         ))
         success = eligible & ~F.col("is_dup")
-        w_seed = Window.partitionBy("seed_id").orderBy("canon_url")
-        fetched = (
-            fetched.join(cap_df, "seed_id")
-            .withColumn("__succ", success.cast("int"))
-            .withColumn(
+        fetched = fetched.join(cap_df, "seed_id") \
+                         .withColumn("__succ", success.cast("int"))
+        if cfg.scalable_cap_window:
+            # two-phase exact prefix sum: no single task ever sorts a
+            # whole seed's round candidates (VERDICT r2 scale audit)
+            fetched = attach_grouped_prefix(
+                fetched, "seed_id", ["canon_url"], "__succ",
+                "__cum_before", "pop_idx",
+            )
+        else:
+            w_seed = Window.partitionBy("seed_id").orderBy("canon_url")
+            fetched = fetched.withColumn(
                 "__cum_before",
                 F.coalesce(
                     F.sum("__succ").over(
@@ -518,10 +531,9 @@ def run_crawl(
                     ),
                     F.lit(0),
                 ),
-            )
-            .withColumn("popped", F.col("__cum_before") < F.col("cap_left"))
-            .withColumn("pop_idx", F.row_number().over(w_seed))
-        )
+            ).withColumn("pop_idx", F.row_number().over(w_seed))
+        fetched = fetched.withColumn(
+            "popped", F.col("__cum_before") < F.col("cap_left"))
         fetched = fetched.cache()
 
         # ---- results of this round -----------------------------------------

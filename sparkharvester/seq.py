@@ -94,3 +94,83 @@ def attach_global_seq(
             yield pdf
 
     return ranged.mapInPandas(number, schema)
+
+
+def attach_grouped_prefix(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    succ_col: str,
+    cum_col: str,
+    idx_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable equivalent of the per-group window pair
+
+        ``cum_col = sum(succ) OVER (PARTITION BY group ORDER BY order
+                     ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`` (0-filled)
+        ``idx_col = row_number() OVER (same window)``
+
+    without ever giving one task a whole group's rows (VERDICT r2 noted
+    the per-seed cap window as the remaining single-task-per-key sort if
+    a seed's round candidates explode).  Same machinery as
+    ``attach_global_seq``: range-partition on (group, *order) — a big
+    group spans several contiguous partitions — then per-(partition,
+    group) counts/sums prefix-summed on the driver (P × n_groups tiny
+    rows) and applied in one mapInPandas pass.  Deterministic for
+    per-row-unique (group, *order) keys.
+    """
+    from collections import defaultdict
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    keys = [group_col, *order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = ranged.groupBy("__pid", group_col).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(succ_col).cast("long")).alias("s"),
+    ).collect()
+    acc: dict = defaultdict(lambda: (0, 0))   # group -> (idx_off, cum_off)
+    offsets: dict = {}                        # (pid, group) -> (idx, cum)
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        g = r[group_col]
+        offsets[(int(r["__pid"]), g)] = acc[g]
+        i0, c0 = acc[g]
+        acc[g] = (i0 + int(r["cnt"]), c0 + int(r["s"] or 0))
+    offsets_bc = spark.sparkContext.broadcast(dict(offsets))
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(cum_col, LongType()),
+                           StructField(idx_col, LongType())])
+
+    def prefix(batches):
+        import pandas as pd
+
+        state: dict = {}   # group -> (next_idx, running_cum) within partition
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            idx_out, cum_out = [], []
+            for g, succ in zip(pdf[group_col], pdf[succ_col]):
+                if g not in state:
+                    state[g] = offsets_bc.value.get((pid, g), (0, 0))
+                i, c = state[g]
+                idx_out.append(i + 1)
+                cum_out.append(c)                  # EXCLUSIVE prefix sum
+                state[g] = (i + 1, c + int(succ))
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[cum_col] = pd.Series(cum_out, index=pdf.index, dtype="int64")
+            pdf[idx_col] = pd.Series(idx_out, index=pdf.index, dtype="int64")
+            yield pdf
+
+    return ranged.mapInPandas(prefix, schema)

@@ -233,6 +233,53 @@ def test_two_phase_admission_exact_and_bounded(spark):
     assert max(r["count"] for r in survivors_per_host) > tokens  # >1 bucket
 
 
+def test_grouped_prefix_matches_window(spark):
+    """attach_grouped_prefix == the per-group cumulative-sum +
+    row_number window pair, on a skewed frame (one group owns 90% of
+    rows spread over many partitions)."""
+    from pyspark.sql.window import Window
+
+    from sparkharvester.seq import attach_grouped_prefix
+
+    rows = [(0 if i % 10 else i % 7, f"k{i:05d}", i % 3) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, k string, succ int") \
+              .repartition(16)
+    w = Window.partitionBy("g").orderBy("k")
+    expected = {
+        (r["g"], r["k"]): (r["cum"], r["idx"])
+        for r in df.withColumn(
+            "cum",
+            F.coalesce(F.sum("succ").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+        ).withColumn("idx", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r["g"], r["k"]): (r["cum"], r["idx"])
+        for r in attach_grouped_prefix(
+            df, "g", ["k"], "succ", "cum", "idx", num_partitions=13
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_scalable_cap_window_crawl_identical(spark):
+    """The range-partitioned per-seed cap path produces the IDENTICAL
+    crawl (pages, seq, stats) as the window path — the 10^10-scale
+    option is a pure physical substitution."""
+    synth = SynthConfig(n_hosts=3, pages_per_host=14)
+    seeds = seed_urls(synth)
+    base = run_crawl(spark, seeds, synth,
+                     CrawlConfig(max_depth=2, max_pages=12))
+    scal = run_crawl(spark, seeds, synth,
+                     CrawlConfig(max_depth=2, max_pages=12,
+                                 scalable_cap_window=True))
+    key = lambda eng: {(r["seed_id"], r["url"], r["depth"], r["seq"],
+                        r["crawled_at"])
+                       for r in eng.pages.collect()}  # noqa: E731
+    assert key(base) == key(scal)
+    assert base.stats == scal.stats
+
+
 def test_global_seq_matches_window(spark):
     """attach_global_seq == row_number over a global ORDER BY window."""
     from pyspark.sql.window import Window
