@@ -505,3 +505,80 @@ def crawl_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def images_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = make_images_df(spark, n=64)
     return check_invariants(imgs)
+
+
+# ---------------------------------------------------------------------------
+# Priority-queue pop order — the north rule's "priority queue keyed by
+# (depth, host-budget, discovery-time)" materialized as a query: BFS
+# depth first, then position within the per-(host, depth) politeness
+# budget, then discovery order.  This is exactly the order the round
+# loop fetches in (depth = round, budget_pos = admission rank, url_id =
+# canonical discovery sequence); expressing it standalone makes the
+# ordering contract driver-checkable against SQL.
+#
+# Scale shape: the budget rank uses the SAME two-phase top-N device as
+# admit_per_host (local row_number per (host, depth, salt) keeping ≤
+# TOKENS per bucket, then the exact window over ≤ TOKENS×BUCKETS
+# survivors — exact ranks for admitted rows, bounded task input under
+# hot-host skew), and the global pop_rank uses seq.attach_global_seq
+# (range-partitioned prefix sums), so no single task ever sorts the
+# whole queue.
+# ---------------------------------------------------------------------------
+
+_PQ_TOKENS = 8      # per-(host, depth) politeness budget
+_PQ_BUCKETS = 4     # phase-1 salt buckets
+
+_PQ_SQL = f"""
+WITH cand AS (
+  SELECT doc_id AS url_id, source AS host, doc_id % 3 AS depth
+  FROM documents
+),
+budget AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY host, depth ORDER BY url_id)
+           AS budget_pos
+  FROM cand
+)
+SELECT url_id, host, depth, budget_pos,
+       row_number() OVER (ORDER BY depth, budget_pos, url_id) AS pop_rank
+FROM budget
+WHERE budget_pos <= {_PQ_TOKENS}
+"""
+
+
+@register(
+    "crawl_priority_order",
+    oracle=_PQ_SQL,
+    doc="BFS priority-queue pop order keyed by (depth, host-budget "
+        "position, discovery-time) — crawler.py:264-279 queue semantics; "
+        "two-phase budget rank + range-partitioned global seq (no "
+        "single-task sort)",
+)
+def crawl_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .seq import attach_global_seq
+
+    cand = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_id"),
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 3).alias("depth"),
+    )
+    # phase 1: local rank per (host, depth, salt) — admitted rows keep
+    # their EXACT (host, depth) rank in phase 2 (proof: admit_per_host
+    # docstring; ranks ≤ TOKENS are unaffected by dropping rows that
+    # rank > TOKENS in their own bucket)
+    pre = cand.withColumn("__s", F.pmod(F.col("url_id"), F.lit(_PQ_BUCKETS)))
+    w_local = Window.partitionBy("host", "depth", "__s").orderBy("url_id")
+    survivors = (
+        pre.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= _PQ_TOKENS)
+    )
+    w_hd = Window.partitionBy("host", "depth").orderBy("url_id")
+    admitted = (
+        survivors.withColumn(
+            "budget_pos", F.row_number().over(w_hd).cast("long"))
+        .filter(F.col("budget_pos") <= _PQ_TOKENS)
+        .drop("__s", "__lrn")
+    )
+    popped = attach_global_seq(
+        admitted, ["depth", "budget_pos", "url_id"], out_col="pop_rank")
+    return popped.select("url_id", "host", "depth", "budget_pos", "pop_rank")

@@ -1,0 +1,182 @@
+"""Image-corpus operators over the input-hint table shape.
+
+BASELINE.json's ``input_hint`` says the engine's payload table is
+``images(image_id, bytes, w, h, fmt, caption, phash)``.  The driver's
+parquet tables carry no binary payloads, so these queries synthesize
+the METADATA columns of that exact shape deterministically from
+``documents`` (``doc_id`` → dims/format/phash via arithmetic + md5,
+``text`` → caption) — identical expressions in the Spark plan and the
+DuckDB oracle, the same device dedup_phash_hamming uses (q_more.py).
+The binary-payload halves of the pipeline (decode, PSNR, resize,
+features, real-phash) live in images.py and are numpy-reference-tested
+in tests/test_images.py; these entries cover the metadata/query half a
+10^10-image corpus build runs on top of them.
+
+Reference parity: the curation gates mirror the reference's page-level
+accept/reject pipeline (crawler.py:288-316 filters before storage) and
+the dedup-winner rule is its content-hash first-wins semantics
+(storage.py:107-154 INSERT OR IGNORE) applied to image phashes.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .session import load
+
+# ---------------------------------------------------------------------------
+# Deterministic images-metadata view (input_hint shape, minus bytes)
+# ---------------------------------------------------------------------------
+#
+#   img_id  = doc_id
+#   w, h    = 32 + (doc_id % 61|37) * 16      (long, 32..992 px)
+#   fmt     = doc_id % 5 → png/jpeg/webp/gif/bmp
+#   caption = documents.text
+#   ph      = md5-derived 60-bit phash shared by runs of 7 consecutive
+#             ids → exact-dup groups for the winner rule
+# ---------------------------------------------------------------------------
+
+_FMT_CASE = ("CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+             "WHEN 2 THEN 'webp' WHEN 3 THEN 'gif' ELSE 'bmp' END")
+
+_IMG_META_SQL = f"""(
+  SELECT doc_id AS img_id,
+         32 + (doc_id % 61) * 16 AS w,
+         32 + (doc_id % 37) * 16 AS h,
+         {_FMT_CASE} AS fmt,
+         text AS caption,
+         CAST('0x' || substr(md5('ph/' || CAST(doc_id - doc_id % 7 AS VARCHAR)), 1, 15)
+              AS BIGINT) AS ph
+  FROM documents
+)"""
+
+
+def _img_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("img_id"),
+        (F.lit(32) + (F.col("doc_id") % 61) * 16).alias("w"),
+        (F.lit(32) + (F.col("doc_id") % 37) * 16).alias("h"),
+        F.expr(_FMT_CASE).alias("fmt"),
+        F.col("text").alias("caption"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(
+                    F.lit("ph/"),
+                    (F.col("doc_id") - F.col("doc_id") % 7).cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("long").alias("ph"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed image-corpus curation: the pass a 10^10-image training build
+# runs — dimension/aspect/format gates ∘ phash-dup winner ∘ caption gate.
+# One scan; the only shuffle is the winner window on ph (uniform md5
+# groups ≤ 7 rows, so no skew); every gate is codegen and prunes before
+# the next pays, and the window input is already gate-pruned.
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_SIDE = 64          # least(w,h) floor
+CURATE_MAX_ASPECT = 4         # greatest ≤ 4×least
+CURATE_FMTS = ("png", "jpeg", "webp")
+CURATE_MIN_CAP_TOKENS = 40    # caption whitespace tokens
+
+
+def _img_curate_sql() -> str:
+    fmts = ", ".join(f"'{f}'" for f in CURATE_FMTS)
+    return f"""
+WITH meta AS (SELECT * FROM {_IMG_META_SQL}),
+gated AS (
+  SELECT *,
+         CAST(length(regexp_extract_all(caption, '\\S+')) AS BIGINT)
+           AS n_cap_tokens,
+         min(img_id) OVER (PARTITION BY ph) AS winner
+  FROM meta
+  WHERE least(w, h) >= {CURATE_MIN_SIDE}
+    AND greatest(w, h) <= {CURATE_MAX_ASPECT} * least(w, h)
+    AND fmt IN ({fmts})
+)
+SELECT img_id, w, h, fmt, n_cap_tokens
+FROM gated
+WHERE img_id = winner AND n_cap_tokens >= {CURATE_MIN_CAP_TOKENS}
+"""
+
+
+@register(
+    "img_curate",
+    oracle=_img_curate_sql(),
+    doc=f"composed image-corpus curation: min side {CURATE_MIN_SIDE}px + "
+        f"aspect <= {CURATE_MAX_ASPECT} + fmt in {CURATE_FMTS} + "
+        "phash-dup winner + caption >= "
+        f"{CURATE_MIN_CAP_TOKENS} tokens -> curated manifest "
+        "(input_hint table shape; crawler.py:288-316 accept gates + "
+        "storage.py first-wins dedup, applied to images)",
+)
+def img_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = _img_meta(spark, sf_dir)
+    gated = meta.filter(
+        (F.least("w", "h") >= CURATE_MIN_SIDE)
+        & (F.greatest("w", "h") <= CURATE_MAX_ASPECT * F.least("w", "h"))
+        & F.col("fmt").isin(*CURATE_FMTS)
+    ).withColumn(
+        "n_cap_tokens",
+        F.regexp_count(F.col("caption"), F.lit(r"\S+")).cast("long"),
+    ).withColumn(
+        "winner", F.min("img_id").over(Window.partitionBy("ph"))
+    )
+    return (
+        gated.filter((F.col("img_id") == F.col("winner"))
+                     & (F.col("n_cap_tokens") >= CURATE_MIN_CAP_TOKENS))
+        .select("img_id", "w", "h", "fmt", "n_cap_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup image GROUPS: banded-Hamming-LSH pairs (dedup_phash_hamming)
+# closed into connected components with the O(log² n) large-star/
+# small-star operator — the cluster table an image-dedup pipeline keeps
+# one winner per row of.  Same composition as dedup_components, on the
+# image axis.
+# ---------------------------------------------------------------------------
+
+
+def _img_components_sql() -> str:
+    from .q_more import _phash_pairs_sql
+
+    pairs = _phash_pairs_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT img_a AS src, img_b AS dst FROM pairs
+  UNION
+  SELECT img_b AS src, img_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node AS src, node AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM (SELECT * FROM reach) r
+  JOIN edges e ON e.src = r.dst
+)
+SELECT src AS node, CAST(min(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "img_phash_components",
+    oracle=_img_components_sql(),
+    doc="image near-dup clusters: connected components (large/small-star)"
+        " over banded phash-Hamming LSH pairs — image-axis analog of "
+        "dedup_components",
+)
+def img_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_dedup import connected_components
+    from .q_more import dedup_phash_hamming
+
+    pairs = dedup_phash_hamming(spark, sf_dir).select("img_a", "img_b")
+    return connected_components(pairs, a="img_a", b="img_b")

@@ -39,5 +39,6 @@ def all_queries() -> dict[str, Query]:
     # import side-effect modules lazily to avoid circular imports
     from . import (  # noqa: F401
         q_intel, q_text, q_dedup, q_sim, q_rel, q_url, q_crawl, q_more,
+        q_img,
     )
     return REGISTRY

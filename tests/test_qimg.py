@@ -1,0 +1,65 @@
+"""Behavioral tests for the image-corpus queries (q_img) and the
+priority-queue ordering contract (q_crawl.crawl_priority_order).
+
+The driver's DuckDB oracle proves Spark == SQL; these tests prove the
+SEMANTICS are the intended ones (gates hold, winners unique per phash
+group, pop order is a real priority-queue order)."""
+from __future__ import annotations
+
+from sparkharvester import q_img
+from sparkharvester.q_crawl import _PQ_TOKENS, crawl_priority_order
+
+
+def test_img_curate_gates_hold(spark, sf_dir):
+    rows = q_img.img_curate(spark, sf_dir).collect()
+    assert rows, "curation must keep something at sf0.001"
+    for r in rows:
+        assert min(r.w, r.h) >= q_img.CURATE_MIN_SIDE
+        assert max(r.w, r.h) <= q_img.CURATE_MAX_ASPECT * min(r.w, r.h)
+        assert r.fmt in q_img.CURATE_FMTS
+        assert r.n_cap_tokens >= q_img.CURATE_MIN_CAP_TOKENS
+
+
+def test_img_curate_one_winner_per_phash_group(spark, sf_dir):
+    meta = q_img._img_meta(spark, sf_dir).select("img_id", "ph")
+    curated = q_img.img_curate(spark, sf_dir).select("img_id")
+    joined = curated.join(meta, "img_id")
+    per_ph = joined.groupBy("ph").count().collect()
+    assert per_ph and all(r["count"] == 1 for r in per_ph)
+
+
+def test_img_components_labels_match_pairs(spark, sf_dir):
+    from sparkharvester.q_more import dedup_phash_hamming
+
+    labels = {
+        r.node: r.component
+        for r in q_img.img_phash_components(spark, sf_dir).collect()
+    }
+    pairs = dedup_phash_hamming(spark, sf_dir).collect()
+    assert pairs, "phash LSH must find the injected near-copies"
+    for p in pairs:
+        assert labels[p.img_a] == labels[p.img_b]
+    # component label is the min node id of the member set
+    by_comp: dict = {}
+    for n, c in labels.items():
+        by_comp.setdefault(c, []).append(n)
+    for c, members in by_comp.items():
+        assert c == min(members)
+
+
+def test_priority_order_is_a_priority_queue(spark, sf_dir):
+    rows = crawl_priority_order(spark, sf_dir).collect()
+    assert rows
+    # dense 1..N pop ranks
+    ranks = sorted(r.pop_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    # pop order sorts by (depth, budget_pos, url_id)
+    by_rank = sorted(rows, key=lambda r: r.pop_rank)
+    keys = [(r.depth, r.budget_pos, r.url_id) for r in by_rank]
+    assert keys == sorted(keys)
+    # politeness budget: ≤ TOKENS rows per (host, depth), ranks exact
+    seen: dict = {}
+    for r in sorted(rows, key=lambda r: (r.host, r.depth, r.url_id)):
+        k = (r.host, r.depth)
+        seen[k] = seen.get(k, 0) + 1
+        assert r.budget_pos == seen[k] <= _PQ_TOKENS
