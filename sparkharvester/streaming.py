@@ -215,3 +215,69 @@ def stream_pages_foreachBatch(
         .start()
     )
     return q
+
+
+def stream_image_dedup(
+    spark: SparkSession,
+    images_dir: str,
+    checkpoint: str,
+):
+    """Streaming image-seen admission: the north rule's URL-seen filter
+    as a CONTINUOUS stateful operator on the image axis.  A stream of
+    ``(img_id, ph)`` discoveries is admitted first-phash-wins — later
+    rows carrying an already-seen phash are dropped — via
+    ``applyInPandasWithState`` keyed by ``ph``.
+
+    Within one micro-batch the min ``img_id`` of an unseen phash is
+    admitted (deterministic); across batches the state store remembers
+    seen phashes, so re-discoveries in any later batch are filtered —
+    exactly the crawl loop's seen-set anti-join, incremental.
+
+    Scale: state is hash-partitioned by ``ph`` across executors; each
+    micro-batch shuffles only its own rows.  ``maxFilesPerTrigger=1``
+    in the caller makes file arrival order the event order.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(images_dir).schema
+
+    def admit(key, pdfs, state: GroupState):
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["img_id"].min())
+                first = m if first is None else min(first, m)
+        if state.exists or first is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"ph": [key[0]], "img_id": [first]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(images_dir)
+        .groupBy(F.col("ph"))
+        .applyInPandasWithState(
+            admit,
+            outputStructType="ph long, img_id long",
+            stateStructType="seen int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    collected: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        collected.extend(r.asDict() for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.collected = collected
+    return q

@@ -140,3 +140,31 @@ def test_stream_sessions_match_batch(spark, sf_dir, tmp_path):
     # events_sessions loads from sf_dir directly; same file copied above
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_image_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-phash-wins admission == batch dedup winners."""
+    import pandas as pd
+
+    from sparkharvester.streaming import stream_image_dedup
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    # batch 0: phashes 1..5 (img 10..14); batch 1 re-offers 1..3 with
+    # LATER img_ids (dup rediscoveries) plus new phashes 6,7
+    b0 = pd.DataFrame({"img_id": [10, 11, 12, 13, 14],
+                       "ph": [1, 2, 3, 4, 5]})
+    b1 = pd.DataFrame({"img_id": [20, 21, 22, 23, 24],
+                       "ph": [1, 2, 3, 6, 7]})
+    b0.to_parquet(imgs / "b0.parquet")
+    import time as _t
+    _t.sleep(1.1)   # distinct mtimes -> deterministic file order
+    b1.to_parquet(imgs / "b1.parquet")
+
+    q = stream_image_dedup(spark, str(imgs), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    admitted = {(r["ph"], r["img_id"]) for r in q.collected}
+    # batch oracle: min img_id per phash over the full discovery log
+    expected = {(1, 10), (2, 11), (3, 12), (4, 13), (5, 14),
+                (6, 23), (7, 24)}
+    assert admitted == expected

@@ -50,8 +50,11 @@ spark = get_spark("scaling", master=f"local[{cpus}]",
                   extra_conf={"spark.sql.adaptive.enabled": "false"})
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(1_000_000).selectExpr("sum(id)").collect()   # warm codegen
-f = min(bench_frontier(spark, n=n)["frontier_sec"] for _ in range(3))
-r = min(bench_round(spark, n=n // 2)["round_sec"] for _ in range(3))
+# bench_frontier/bench_round now self-warm and median 3 timed passes
+# internally (round-3 steady-state protocol), so one call per level
+# replaces the old external min-of-3 at the same total job count.
+f = bench_frontier(spark, n=n)["frontier_sec"]
+r = bench_round(spark, n=n // 2)["round_sec"]
 # Spark-side map-stage calibration: the SAME string/regex codegen work
 # the frontier jobs are built on, but with ZERO shuffle, ZERO Python
 # and no window — embarrassingly parallel by construction.  Whatever
