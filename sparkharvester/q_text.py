@@ -274,3 +274,55 @@ def curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("stop_ratio") >= CURATE_MIN_STOP_RATIO))
         .select("doc_id", "lang_pred", "n_tokens", "stop_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard packing: assign curated docs to ~fixed-token-budget
+# shards by exclusive prefix sum over the canonical doc order — the
+# step after curation in a real training-data build (shard manifests
+# for the data loader).  The prefix sum uses seq.attach_grouped_prefix
+# (range partition + driver-side P-entry offset table + one mapInPandas
+# pass), NOT a global window — no single task ever holds the whole
+# curated set (the same machinery the crawl's per-seed cap runs on).
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS = 2_000
+
+
+def _shards_sql() -> str:
+    curated = _curate_sql().strip()
+    return f"""
+WITH curated AS ({curated}),
+x AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_tokens
+  FROM curated
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       cum_tokens // {SHARD_TOKENS} AS shard_id
+FROM x
+"""
+
+
+@register(
+    "curate_shards",
+    oracle=_shards_sql(),
+    doc=f"pack curated docs into ~{SHARD_TOKENS}-token training shards "
+        "via range-partitioned exclusive prefix sum (greedy packing: "
+        "shard_id = exclusive_cum_tokens div budget; no global window)",
+)
+def curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .seq import attach_grouped_prefix
+
+    curated = curate_training_set(spark, sf_dir).select("doc_id", "n_tokens")
+    g = curated.withColumn("__g", F.lit(0))
+    out = attach_grouped_prefix(
+        g, "__g", ["doc_id"],
+        succ_col="n_tokens", cum_col="cum_tokens", idx_col="__idx",
+    )
+    return out.select(
+        "doc_id", "n_tokens", "cum_tokens",
+        F.expr(f"cum_tokens div {SHARD_TOKENS}").alias("shard_id"),
+    )

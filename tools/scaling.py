@@ -178,6 +178,18 @@ def main() -> None:
     }
 
     os.makedirs("BENCH", exist_ok=True)
+    # hand-authored analysis sections (e.g. the round-3 regression A/B)
+    # live between the generated scaling study and the generated
+    # vs-baseline footer — carry them across regenerations
+    preserved = ""
+    try:
+        old = open("BENCH/BASELINE.md").read()
+        i = old.find("## Round-3 A/B")
+        j = old.find("## vs the reference-implied baseline", max(i, 0))
+        if i != -1:
+            preserved = old[i:j if j != -1 else len(old)].rstrip() + "\n\n"
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -236,7 +248,7 @@ measured here.
 {json.dumps(report, indent=1)}
 ```
 
-## vs the reference-implied baseline (BASELINE.md)
+{preserved}## vs the reference-implied baseline (BASELINE.md)
 
 The reference's configuration ceilings imply ≤ 0.43 pages/s globally
 (3 threads x 1 fetch / 7 s; config.py:40,44).  This engine's full BFS
