@@ -115,6 +115,7 @@ WHERE img_id = winner AND n_cap_tokens >= {CURATE_MIN_CAP_TOKENS}
         f"{CURATE_MIN_CAP_TOKENS} tokens -> curated manifest "
         "(input_hint table shape; crawler.py:288-316 accept gates + "
         "storage.py first-wins dedup, applied to images)",
+    bench=True,
 )
 def img_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = _img_meta(spark, sf_dir)

@@ -443,6 +443,7 @@ WHERE bit_count(xor(x.ph, y.ph)) <= {_PH_T}
         f"banded Hamming LSH (exact recall at Hamming <= {_PH_T} by "
         "pigeonhole) + bit_count(xor) verify on candidates only "
         "(images.py phash64 column of the input-hint table)",
+    bench=True,
 )
 def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "documents").select(
