@@ -181,3 +181,62 @@ def img_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_phash_hamming(spark, sf_dir).select("img_a", "img_b")
     return connected_components(pairs, a="img_a", b="img_b")
+
+
+# ---------------------------------------------------------------------------
+# Per-image nearest neighbors by Hamming distance — the image-axis ANN
+# query: for every image with any near-dup candidate, its top-K closest
+# neighbors within the LSH threshold.  Exact for the ≤ threshold radius
+# (banded LSH has exact recall there — see phash_hamming_pairs); the
+# ranking window partitions by img_a, whose neighbor count is bounded
+# by the Hamming ball, so no skew at any corpus size.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def _img_knn_sql() -> str:
+    from .q_more import _phash_pairs_sql
+
+    pairs = _phash_pairs_sql()
+    return f"""
+WITH pairs AS ({pairs}),
+sym AS (
+  SELECT img_a, img_b, hamming FROM pairs
+  UNION ALL
+  SELECT img_b AS img_a, img_a AS img_b, hamming FROM pairs
+),
+ranked AS (
+  SELECT img_a, img_b, hamming,
+         row_number() OVER (PARTITION BY img_a ORDER BY hamming, img_b)
+           AS rank
+  FROM sym
+)
+SELECT img_a, img_b, hamming, rank FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+@register(
+    "img_hamming_knn",
+    oracle=_img_knn_sql(),
+    doc=f"top-{_KNN_K} nearest neighbors per image by phash Hamming "
+        "distance within the LSH radius (exact recall at the "
+        "threshold; per-image window bounded by the Hamming ball)",
+)
+def img_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_more import dedup_phash_hamming
+
+    pairs = dedup_phash_hamming(spark, sf_dir)
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("img_b").alias("img_a"),
+            F.col("img_a").alias("img_b"),
+            "hamming",
+        )
+    )
+    w = Window.partitionBy("img_a").orderBy("hamming", "img_b")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("img_a", "img_b", "hamming", "rank")
+    )

@@ -63,3 +63,26 @@ def test_priority_order_is_a_priority_queue(spark, sf_dir):
         k = (r.host, r.depth)
         seen[k] = seen.get(k, 0) + 1
         assert r.budget_pos == seen[k] <= _PQ_TOKENS
+
+
+def test_img_hamming_knn_contract(spark, sf_dir):
+    from sparkharvester.q_img import _KNN_K, img_hamming_knn
+    from sparkharvester.q_more import dedup_phash_hamming
+
+    rows = img_hamming_knn(spark, sf_dir).collect()
+    assert rows
+    # symmetric pair set, ranked within each img_a by (hamming, img_b)
+    by_a: dict = {}
+    for r in rows:
+        by_a.setdefault(r.img_a, []).append(r)
+    pairs = dedup_phash_hamming(spark, sf_dir).collect()
+    deg: dict = {}
+    for p in pairs:
+        deg[p.img_a] = deg.get(p.img_a, 0) + 1
+        deg[p.img_b] = deg.get(p.img_b, 0) + 1
+    for a, nbrs in by_a.items():
+        nbrs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) == min(_KNN_K, deg[a])
+        keys = [(r.hamming, r.img_b) for r in nbrs]
+        assert keys == sorted(keys)

@@ -91,7 +91,7 @@ print("RESULT", json.dumps({"sec": time.monotonic() - t0}))
 '''
 
 
-def _run(snippet: str, *args: str, timeout: int = 900) -> dict:
+def _run(snippet: str, *args: str, timeout: int = 2400) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", snippet, *args],
         capture_output=True, text=True, timeout=timeout,
