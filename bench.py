@@ -341,19 +341,20 @@ def main() -> None:
         return s
     spark.range(cpus * 10_000).repartition(cpus) \
         .select(_warm(F.col("id"))).write.format("noop").mode("overwrite").save()
-    # warm the intel pipeline's codegen + UDF imports at the smallest
-    # available SF so the alphabetically-first headline query doesn't
-    # absorb one-time JVM compile/import cost (~3s) that belongs to no
-    # query in particular.  Derived from the configured dir, not a
+    # steady-state protocol (round 3): run EVERY headline query once at
+    # the smallest available SF before timing, so each measurement is
+    # the query's work — not its one-time whole-stage-codegen compile +
+    # Python UDF import cost (~0.5-2s per distinct plan, belongs to no
+    # query in particular; the same rationale as the frontier/round
+    # warm-up passes).  Derived from the configured dir, not a
     # hardcoded path (ADVICE r2): fall back to sf_dir itself if the
     # sibling sf0.001 is absent.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    all_queries()["a4_risk_histogram"].build(spark, warm_dir) \
-        .write.format("noop").mode("overwrite").save()
-
     qs = {n: q for n, q in all_queries().items() if q.bench}
+    for q in qs.values():
+        q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name, q in sorted(qs.items()):
         t0 = time.monotonic()

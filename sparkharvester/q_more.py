@@ -515,3 +515,60 @@ def phash_hamming_pairs(allph: DataFrame, threshold: int = _PH_T) -> DataFrame:
         .filter(F.col("hamming") <= threshold)
         .select("img_a", "img_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# MULTIMODAL near-dup clustering: one cluster table across BOTH dedup
+# signals — text (LSH→exact-Jaccard verified pairs) ∪ embedding
+# (hyperplane-LSH→exact-cosine pairs) — closed into connected
+# components.  This is what a multimodal training-data build actually
+# keeps: a doc pair near-dup in EITHER modality lands in one cluster,
+# so the winner rule dedupes across signals (caption copies with
+# re-encoded images, paraphrases with near-identical embeddings).
+# vec_id == doc_id in the driver corpus, so the two edge sets share one
+# node space; both edge builders are themselves oracle-green, and the
+# star-contraction closure is O(log² n) rounds (q_dedup).
+# ---------------------------------------------------------------------------
+
+
+def _multimodal_sql() -> str:
+    from .q_dedup import _lsh_verified_sql
+
+    text = _lsh_verified_sql()
+    emb = _emb_pairs_sql()
+    return f"""
+WITH RECURSIVE tp AS ({text}),
+ep AS ({emb}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM tp
+  UNION SELECT doc_b AS src, doc_a AS dst FROM tp
+  UNION SELECT vec_a AS src, vec_b AS dst FROM ep
+  UNION SELECT vec_b AS src, vec_a AS dst FROM ep
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node AS src, node AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM (SELECT * FROM reach) r
+  JOIN edges e ON e.src = r.dst
+)
+SELECT src AS node, CAST(min(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_multimodal",
+    oracle=_multimodal_sql(),
+    doc="multimodal near-dup clusters: connected components over the "
+        "UNION of text-Jaccard-verified pairs and embedding-cosine "
+        "pairs (one winner per cluster across both signals)",
+)
+def dedup_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_dedup import connected_components, dedup_lsh_verified
+
+    text = dedup_lsh_verified(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    emb = dedup_embedding_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    return connected_components(text.unionByName(emb), a="a", b="b")
