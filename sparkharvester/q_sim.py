@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import REGISTRY, register
 from .session import load
 
 DIM = 64
@@ -249,3 +249,187 @@ LIMIT {TOP_K}
 )
 def sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_query(spark, sf_dir, nprobe=IVF_K)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index scale path for
+# similarity search: each 64-dim float vector becomes PQ_M 5-bit codes
+# (~51x smaller than float32), queries scan codes with an ADC lookup
+# table, and a small shortlist is re-ranked with exact cosine — the
+# same prune-then-verify shape as the LSH→exact-Jaccard dedup pipeline.
+#
+# Scale (10^9 vectors): codebooks are PQ_M x PQ_K x dsub doubles (tiny,
+# broadcast in the UDF closure); training moves only codebook-sized
+# aggregates through the driver (one groupBy(subspace, code) per Lloyd
+# round — PQ_M*PQ_K groups); encode and ADC scan are zero-shuffle map
+# stages; only the shortlist (SHORTLIST rows) reaches the exact
+# re-rank.  Deterministic: md5-ordered init, fixed iterations.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subquantizers (DIM/PQ_M dims each)
+PQ_K = 32         # centroids per subspace (5-bit codes)
+PQ_ITERS = 3
+PQ_SHORTLIST = 128
+
+
+def pq_fit(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+           iters: int = PQ_ITERS):
+    """Deterministic per-subspace k-means-lite → numpy (m, k, dsub)
+    codebooks.  Init = the k md5-first vectors' subvectors (same seeded
+    device as ivf_fit); refresh = ONE groupBy(subspace, code) mean per
+    Lloyd round (m*k groups, map-side combined); emptied codes keep
+    their previous centroid."""
+    import numpy as np
+
+    init = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__r", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    if not init:
+        raise ValueError("pq_fit: embeddings table is empty")
+    X0 = np.array([list(r["embedding"]) for r in init], dtype=np.float64)
+    dim = X0.shape[1]
+    dsub = dim // m
+    C = np.stack([X0[:, s * dsub:(s + 1) * dsub] for s in range(m)])  # (m,k,dsub)
+    for _ in range(iters):
+        codes = pq_encode(emb, C).select(
+            F.posexplode("codes").alias("subspace", "code"), "embedding")
+        dcols = [
+            # 0-based [] indexing: subvector element i of this subspace
+            F.avg(F.expr(f"embedding[subspace * {dsub} + {i}]")).alias(f"m{i}")
+            for i in range(dsub)
+        ]
+        means = codes.groupBy("subspace", "code").agg(*dcols).collect()
+        C = C.copy()
+        for r in means:
+            v = np.array([r[f"m{i}"] for i in range(dsub)], dtype=np.float64)
+            if np.isfinite(v).all():
+                C[int(r["subspace"]), int(r["code"])] = v
+    return C
+
+
+def _pq_encode_udf(codebooks):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)   # (m, k, dsub)
+    m, _, dsub = C.shape
+
+    def encode(embs):
+        import pandas as pd
+
+        X = np.vstack(embs.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = X[:, s * dsub:(s + 1) * dsub]           # (n, dsub)
+            # argmin_k ||sub - C[s,k]||² per row
+            d = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out), index=embs.index)
+
+    return pandas_udf(encode, "array<int>")
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """Append the `codes` column (m 4-bit codes; zero-shuffle map)."""
+    return emb.withColumn("codes", _pq_encode_udf(codebooks)(F.col("embedding")))
+
+
+def _pq_adc_udf(codebooks, query_vec):
+    """ADC: approx dot(query, x) = Σ_s table[s, code_s] where table is
+    the per-subspace dot of the query subvector with each centroid —
+    one numpy gather per Arrow batch, no float vectors touched."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = C.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.stack([C[s] @ q[s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    def adc(codes):
+        import pandas as pd
+
+        K = np.vstack(codes.to_numpy())              # (n, m) int codes
+        scores = table[np.arange(m)[None, :], K].sum(axis=1)
+        return pd.Series(scores, index=codes.index)
+
+    return pandas_udf(adc, "double")
+
+
+def pq_refine_search(
+    encoded: DataFrame,
+    codebooks,
+    query_vec,
+    shortlist: int = PQ_SHORTLIST,
+    top_k: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC shortlist (approx, codes only) → exact-cosine re-rank of the
+    shortlist → top-k.  The exact stage touches `shortlist` rows, not
+    the corpus."""
+    adc = _pq_adc_udf(codebooks, query_vec)
+    cand = encoded
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    short = (
+        cand.select("vec_id", "embedding", adc(F.col("codes")).alias("__adc"))
+        .orderBy(F.desc("__adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    qv = F.lit([float(x) for x in query_vec])
+    return (
+        short.select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
+@register(
+    "sim_pq_refine",
+    oracle=None,   # recall property + determinism proven in tests/test_ivf.py
+    doc=f"PQ-compressed ANN: {PQ_M}x5-bit codes (~51x vs float32), ADC "
+        f"shortlist({PQ_SHORTLIST}) + exact-cosine re-rank -> "
+        f"top-{TOP_K}; prune-then-verify like the dedup LSH pipeline",
+)
+def sim_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pivot_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not pivot_rows:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    pivot = pivot_rows[0]
+    codebooks = pq_fit(emb)
+    encoded = pq_encode(emb, codebooks)
+    return pq_refine_search(
+        encoded, codebooks, list(pivot["embedding"]),
+        exclude_vec_id=int(pivot["vec_id"]),
+    )
+
+
+@register(
+    "sim_pq_exhaustive",
+    oracle=REGISTRY["sim_cosine_topk"].oracle,
+    doc="PQ correctness identity: ADC shortlist covering the whole "
+        "corpus + exact re-rank == brute-force cosine top-k (same "
+        "device as sim_ivf_exhaustive — makes the PQ family "
+        "driver-checkable, not just pytest-checkable)",
+)
+def sim_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pivot_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not pivot_rows:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    pivot = pivot_rows[0]
+    codebooks = pq_fit(emb)
+    encoded = pq_encode(emb, codebooks)
+    return pq_refine_search(
+        encoded, codebooks, list(pivot["embedding"]),
+        shortlist=1 << 30,
+        exclude_vec_id=int(pivot["vec_id"]),
+    )
