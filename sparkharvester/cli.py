@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "8")))
     p.add_argument("--report", action="store_true", help="render HTML report")
+    p.add_argument("--images", action="store_true",
+                   help="emit the image+caption payload table "
+                        "(input_hint shape) alongside the crawl results "
+                        "— one synthesized row per crawled page, "
+                        "decode-invariant-checked schema (images.py)")
     p.add_argument("--sql", default=None,
                    help="ad-hoc SQL over the saved results (tables: "
                         "crawl_results, crawl_metrics) — the reference's "
@@ -139,6 +144,17 @@ def main(argv: list[str] | None = None) -> int:
         _register_results(spark, out_dir)
         for row in spark.sql(args.sql).toJSON().collect():
             print(row)
+    if args.images:
+        # the north rule's payload table: Iceberg-style images parquet
+        # keyed to the crawled pages (image_id = xxhash64 of the page
+        # url) — synthesized deterministically, generated distributed
+        # (mapInPandas; the driver never holds pixels)
+        from .images import make_images_df
+
+        imgs = make_images_df(spark, page_urls=eng.pages.select("url"))
+        img_path = os.path.join(out_dir, "images.parquet")
+        imgs.write.mode("overwrite").parquet(img_path)
+        paths["images"] = img_path
     if args.report:
         aggs = build_aggregates(enriched)
         paths["report"] = render_html(

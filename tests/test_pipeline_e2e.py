@@ -124,3 +124,25 @@ def test_cli_durable_intel_columns(spark, tmp_path, capsys):
         "urls", "pgp_present", "total",
     ]
     assert blob["total"] == row["ioc_total"]
+
+
+def test_cli_images_table(spark, tmp_path):
+    """--images emits the input_hint payload table keyed to crawled
+    pages: one row per page, schema exact, payload decode-invariant."""
+    from sparkharvester.cli import main
+    from sparkharvester.images import check_invariants
+
+    out = tmp_path / "out"
+    rc = main(["--hosts", "3", "--max-depth", "1", "--max-pages", "8",
+               "--out", str(out), "--images"])
+    assert rc == 0
+    imgs = spark.read.parquet(str(out / "images.parquet"))
+    assert imgs.columns == ["image_id", "bytes", "w", "h", "fmt",
+                            "caption", "phash"]
+    pages = spark.read.parquet(str(out / "crawl_results.parquet"))
+    assert imgs.count() == pages.count()
+    assert imgs.select("image_id").distinct().count() == pages.count()
+    bad = check_invariants(imgs).filter(
+        "NOT (pixels_equal AND psnr_ok AND caption_ok AND phash_ok)"
+    ).count()
+    assert bad == 0
