@@ -582,3 +582,86 @@ def crawl_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     popped = attach_global_seq(
         admitted, ["depth", "budget_pos", "url_id"], out_col="pop_rank")
     return popped.select("url_id", "host", "depth", "budget_pos", "pop_rank")
+
+
+# ---------------------------------------------------------------------------
+# Robots gate as an oracle-checked query.  The crawl loop's robots path
+# (frontier.py: fetch-once cache table → broadcast join on host →
+# disallow-prefix startswith) was pytest-only; this expresses the SAME
+# predicate pipeline — md5-derived per-host disallow rule
+# (synth.robots_for_host: ~1/3 of hosts disallow one /pN prefix) +
+# broadcast membership join + prefix match — with hosts/paths
+# synthesized identically in both dialects.  Scale shape matches the
+# runtime: the robots table is tiny (one row per disallowing host),
+# broadcast; the candidates never shuffle.
+# ---------------------------------------------------------------------------
+
+_RB_HOSTS = 50   # candidate urls spread over this many hosts
+
+
+def _rb_h(col_sql: str) -> str:
+    return (f"CAST('0x' || substr(md5('robots/42/' || {col_sql}), 1, 15) "
+            f"AS BIGINT)")
+
+
+_ROBOTS_SQL = f"""
+WITH cand AS (
+  SELECT doc_id,
+         substr(md5('h/' || CAST(doc_id % {_RB_HOSTS} AS VARCHAR)), 1, 16)
+           || '.onion' AS host,
+         '/p' || CAST(doc_id % 23 AS VARCHAR) AS path
+  FROM documents
+),
+robots AS (
+  SELECT host, '/p' || CAST(h % 7 AS VARCHAR) AS prefix
+  FROM (SELECT DISTINCT host, {_rb_h('host')} AS h FROM cand)
+  WHERE h % 3 = 0
+)
+SELECT c.doc_id, c.host, c.path,
+       coalesce(starts_with(c.path, r.prefix), FALSE) AS robots_blocked
+FROM cand c LEFT JOIN robots r ON c.host = r.host
+"""
+
+
+@register(
+    "crawl_robots_gate",
+    oracle=_ROBOTS_SQL,
+    doc="robots.txt disallow gate (north rule): md5-derived per-host "
+        "prefix rule (synth.robots_for_host semantics) + broadcast "
+        "membership join + startswith — frontier.py robots path, "
+        "driver-checkable",
+)
+def crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(
+                F.md5(F.concat(F.lit("h/"),
+                               (F.col("doc_id") % _RB_HOSTS).cast("string"))),
+                1, 16),
+            F.lit(".onion"),
+        ).alias("host"),
+        F.concat(F.lit("/p"), (F.col("doc_id") % 23).cast("string"))
+        .alias("path"),
+    )
+    hosts = cand.select("host").distinct().withColumn(
+        "__h",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("robots/42/"), F.col("host"))),
+                        1, 15),
+            16, 10,
+        ).cast("long"),
+    )
+    robots = hosts.filter(F.col("__h") % 3 == 0).select(
+        "host",
+        F.concat(F.lit("/p"), (F.col("__h") % 7).cast("string"))
+        .alias("prefix"),
+    )
+    return (
+        cand.join(F.broadcast(robots), "host", "left")
+        .withColumn(
+            "robots_blocked",
+            F.coalesce(F.col("path").startswith(F.col("prefix")), F.lit(False)),
+        )
+        .select("doc_id", "host", "path", "robots_blocked")
+    )
