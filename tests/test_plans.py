@@ -1,0 +1,57 @@
+"""Physical-plan shape regression tests (SURVEY §4.2 checklist).
+
+PLANS.md documents the plans; these assertions keep the load-bearing
+properties from silently regressing: no cartesian products anywhere,
+column-pruned parquet scans, small dims broadcast."""
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from sparkharvester.registry import all_queries
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", [
+    "j1_left_outer", "dedup_lsh_verified", "dedup_phash_hamming",
+    "img_curate", "img_hamming_knn", "crawl_priority_order",
+    "dedup_minhash_lsh", "rel_nation_revenue", "curate_shards",
+    "crawl_robots_gate",
+])
+def test_no_cartesian_product(spark, sf_dir, name):
+    df = all_queries()[name].build(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_img_curate_scan_pruned(spark, sf_dir):
+    """The curation gates read only (doc_id, text) — a scan that pulls
+    all document columns for a 2-source-column query is wrong."""
+    plan = _plan(all_queries()["img_curate"].build(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans
+    for line in scans:
+        assert "lang" not in line and "n_chars" not in line, line
+
+
+def test_rel_join_broadcasts_small_dim(spark, sf_dir):
+    """TPC-H-ish rollup: the nation/region dims must broadcast, not
+    shuffle (SURVEY §4.2: broadcast small sides)."""
+    plan = _plan(all_queries()["rel_nation_revenue"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_robots_gate_broadcasts_robots_table(spark, sf_dir):
+    """The robots membership join must broadcast the tiny robots side —
+    candidates never shuffle (frontier.py runtime shape)."""
+    plan = _plan(all_queries()["crawl_robots_gate"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
