@@ -49,12 +49,29 @@ def _count_sub_sql(hay: str, needle: str) -> str:
     )
 
 
+def _fold_count_subs(tl: F.Column, needles: list[str]) -> F.Column:
+    """Sum of non-overlapping substring counts as a FOLD over an array
+    literal of needles, not a flat sum of per-needle sub-expressions.
+
+    The flat form re-expands `tl` (concat+lower) twice per needle; once
+    several such chains collapse into one projected Filter (the curate
+    pipeline composes lang + quality + gates), Janino's 64 KB method
+    limit trips and the whole stage silently falls back to interpreted
+    mode (same failure class intel.category_hits documents).  The fold
+    keeps the expression tree needle-count-independent; per-needle
+    arithmetic and summation order are identical (integer adds in
+    needle order), so oracle parity is unchanged."""
+    return F.aggregate(
+        F.lit(needles),
+        F.lit(0),
+        lambda acc, w: acc
+        + ((F.length(tl) - F.length(F.replace(tl, w))) / F.length(w))
+        .cast("int"),
+    )
+
+
 def _lang_score(tl: F.Column, lang: str) -> F.Column:
-    total = None
-    for w in LANG_STOPWORDS[lang]:
-        c = _count_sub(tl, w)
-        total = c if total is None else total + c
-    return total
+    return _fold_count_subs(tl, list(LANG_STOPWORDS[lang]))
 
 
 def _lang_score_sql(tl: str, lang: str) -> str:
@@ -135,10 +152,7 @@ FROM q
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_spread(spark, sf_dir, "documents")
     tl = _padded_lower(F.col("text"))
-    stop_hits = None
-    for w in QUALITY_STOPWORDS:
-        c = _count_sub(tl, f" {w} ")
-        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_hits = _fold_count_subs(tl, [f" {w} " for w in QUALITY_STOPWORDS])
     df = df.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
