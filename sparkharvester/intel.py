@@ -258,19 +258,44 @@ def with_intel(df: DataFrame, text_col: str = "text") -> DataFrame:
     return with_threat(with_iocs(df, text_col), text_col)
 
 
+def _json_str_array(col: Column) -> Column:
+    """Render a string array as a ``json.dumps``-style list literal:
+    ``["a", "b"]`` / ``[]`` (", " separator, quoted items)."""
+    return F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(col, lambda x: F.concat(F.lit('"'), x, F.lit('"'))),
+            ", "),
+        F.lit("]"),
+    )
+
+
 def ioc_data_column() -> Column:
     """Reference-parity ``ioc_data`` JSON blob for the durable results
     table (storage.py:25-41 schema, storage.py:130 serialization):
-    the per-row IOC dict in ``IOCs.as_dict()`` key order
-    (intelligence.py:164-179, urls capped to 20 there).  Computed from
-    the typed columns ``with_iocs`` produced — pure codegen
-    ``to_json(struct(...))``, no second regex pass."""
-    return F.to_json(F.struct(
-        *[(F.slice(F.col(t), 1, 20) if t == "urls" else F.col(t)).alias(t)
-          for t in IOC_LIST_FIELDS],
-        F.col("pgp_present").alias("pgp_present"),
-        F.col("ioc_total").alias("total"),
+    BYTE-equal to the reference's ``json.dumps(iocs.as_dict())`` —
+    ``IOCs.as_dict()`` key order (intelligence.py:164-179), urls capped
+    to 20 there, ``total`` counting the uncapped lists, and
+    ``json.dumps`` default ``", "`` / ``": "`` separators.
+
+    String escaping is provably a no-op: every IOC value matches one of
+    the IOC_PATTERNS char classes (constants.py), none of which admit
+    ``"``, ``\\``, control characters, or non-ASCII — the url pattern
+    excludes quotes/whitespace/angle brackets explicitly — so quoting
+    the raw value IS its JSON encoding.  That keeps the blob pure
+    codegen concat (no second regex pass, no Python UDF on the durable
+    sink path); tests/test_intel.py pins byte parity on fixtures."""
+    parts = []
+    for t in IOC_LIST_FIELDS:
+        col = F.slice(F.col(t), 1, 20) if t == "urls" else F.col(t)
+        parts.append(F.concat(F.lit(f'"{t}": '), _json_str_array(col)))
+    parts.append(F.concat(
+        F.lit('"pgp_present": '),
+        F.when(F.col("pgp_present"), F.lit("true")).otherwise(F.lit("false")),
     ))
+    parts.append(F.concat(F.lit('"total": '),
+                          F.col("ioc_total").cast("string")))
+    return F.concat(F.lit("{"), F.concat_ws(", ", *parts), F.lit("}"))
 
 
 def risk_label_expr(risk: Column) -> Column:

@@ -301,11 +301,14 @@ def _lsh_candidates(shingled: DataFrame) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
-    # cache: the self-join below would otherwise recompute the full
-    # signature lineage for BOTH join sides
+    # persist: the self-join below would otherwise recompute the full
+    # signature lineage for BOTH join sides; DISK_ONLY like the shingle
+    # caches (the band table is O(rows x bands) — a memory cache of it
+    # at corpus scale competes with shuffle/execution memory).
     bands = sig.select(
         "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash").cache()
+    ).select("doc_id", "band.band_id", "band.band_hash").persist(
+        _SHINGLE_CACHE_LEVEL)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark import StorageLevel
 
 from .q_sim import _cosine, _cosine_sql
 from .registry import register
@@ -330,7 +331,10 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("vec_id") + _PERT_OFFSET).alias("vec_id"), "emb")
     )
-    allv = base.unionByName(pert).cache()
+    # DISK_ONLY (VERDICT r3 #2): a full-vector cache of the base+perturbed
+    # union at 10^9+ embeddings would evict or OOM executors under the
+    # default level; same storage contract as q_dedup._SHINGLE_CACHE_LEVEL.
+    allv = base.unionByName(pert).persist(StorageLevel.DISK_ONLY)
 
     def dot(plane: list[float]):
         return F.aggregate(
@@ -349,10 +353,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_HP_BANDS)
     ])
-    # cache: both self-join sides would otherwise recompute all 64 folds
+    # persist: both self-join sides would otherwise recompute all 64
+    # folds; DISK_ONLY for the same 100 TB memory-cliff reason as allv.
     bands = allv.select(
         "vec_id", F.explode(band_structs).alias("band")
-    ).select("vec_id", "band.band_id", "band.bucket").cache()
+    ).select("vec_id", "band.band_id", "band.bucket").persist(
+        StorageLevel.DISK_ONLY)
     cand = (
         bands.alias("a")
         .join(
@@ -396,19 +402,14 @@ _PH_T = 3                # Hamming threshold
 _PH_BANDS, _PH_BITS = 4, 15
 
 
-def _phash_pairs_sql() -> str:
+def _allph_cte_sql() -> str:
+    """WITH-body fragment defining ``allph(img_id, ph)`` — the synthetic
+    phash corpus (per-doc phash + 1-2-bit-flipped near-copies)."""
     flip1 = "(1::BIGINT << CAST(b.img_id % 59 AS INT))"
     flip2 = ("CASE WHEN b.img_id % 3 = 0 THEN "
              "(1::BIGINT << CAST(b.img_id % 53 + 1 AS INT)) "
              "ELSE 0::BIGINT END")
-    bands = " UNION ALL ".join(
-        f"SELECT img_id, {i} AS band_id, "
-        f"(ph >> {_PH_BITS * i}) & {(1 << _PH_BITS) - 1} AS band_val "
-        "FROM allph"
-        for i in range(_PH_BANDS)
-    )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS img_id,
          CAST('0x' || substr(md5('ph/' || CAST(doc_id AS VARCHAR)), 1, 15)
               AS BIGINT) AS ph
@@ -419,20 +420,40 @@ copies AS (
          xor(xor(b.ph, {flip1}), {flip2}) AS ph
   FROM base b WHERE b.img_id % {_PH_COPY_EVERY} = 0
 ),
-allph AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
-bands AS ({bands}),
+allph AS (SELECT * FROM base UNION ALL SELECT * FROM copies)"""
+
+
+def _pairs_body_sql(src: str = "allph") -> str:
+    """WITH-body fragment defining ``pairs(img_a, img_b, hamming)`` —
+    the banded-LSH + bit_count verify over a ``(img_id, ph)`` CTE."""
+    bands = " UNION ALL ".join(
+        f"SELECT img_id, {i} AS band_id, "
+        f"(ph >> {_PH_BITS * i}) & {(1 << _PH_BITS) - 1} AS band_val "
+        f"FROM {src}"
+        for i in range(_PH_BANDS)
+    )
+    return f"""bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_val = b.band_val
    AND a.img_id < b.img_id
-)
-SELECT c.img_a, c.img_b,
-       CAST(bit_count(xor(x.ph, y.ph)) AS INT) AS hamming
-FROM cand c
-JOIN allph x ON x.img_id = c.img_a
-JOIN allph y ON y.img_id = c.img_b
-WHERE bit_count(xor(x.ph, y.ph)) <= {_PH_T}
+),
+pairs AS (
+  SELECT c.img_a, c.img_b,
+         CAST(bit_count(xor(x.ph, y.ph)) AS INT) AS hamming
+  FROM cand c
+  JOIN {src} x ON x.img_id = c.img_a
+  JOIN {src} y ON y.img_id = c.img_b
+  WHERE bit_count(xor(x.ph, y.ph)) <= {_PH_T}
+)"""
+
+
+def _phash_pairs_sql() -> str:
+    return f"""
+WITH {_allph_cte_sql()},
+{_pairs_body_sql()}
+SELECT img_a, img_b, hamming FROM pairs
 """
 
 
@@ -446,6 +467,13 @@ WHERE bit_count(xor(x.ph, y.ph)) <= {_PH_T}
     bench=True,
 )
 def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phash_hamming_pairs(synth_allph(spark, sf_dir))
+
+
+def synth_allph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic ``(img_id, ph)`` corpus (Spark twin of
+    ``_allph_cte_sql``): per-doc 60-bit md5 phash + 1-2-bit-flipped
+    near-copies every ``_PH_COPY_EVERY`` ids."""
     base = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("img_id"),
         F.conv(
@@ -471,9 +499,7 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("img_id") + _PH_OFFSET).alias("img_id"), "ph")
     )
-    allph = base.unionByName(copies)
-
-    return phash_hamming_pairs(allph)
+    return base.unionByName(copies)
 
 
 def phash_hamming_pairs(allph: DataFrame, threshold: int = _PH_T) -> DataFrame:

@@ -290,6 +290,13 @@ def pq_fit(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     )
     if not init:
         raise ValueError("pq_fit: embeddings table is empty")
+    if len(init) < k:
+        import warnings
+
+        warnings.warn(
+            f"pq_fit: corpus has only {len(init)} vectors < k={k}; "
+            "training that many centroids per subspace (codes stay "
+            "valid, compression ratio unchanged)", stacklevel=2)
     X0 = np.array([list(r["embedding"]) for r in init], dtype=np.float64)
     dim = X0.shape[1]
     dsub = dim // m
@@ -334,7 +341,8 @@ def _pq_encode_udf(codebooks):
 
 
 def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
-    """Append the `codes` column (m 4-bit codes; zero-shuffle map)."""
+    """Append the `codes` column (m 5-bit codes for PQ_K=32;
+    zero-shuffle map)."""
     return emb.withColumn("codes", _pq_encode_udf(codebooks)(F.col("embedding")))
 
 

@@ -309,13 +309,17 @@ def _shards_sql() -> str:
 WITH curated AS ({curated}),
 x AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         -- DuckDB widens windowed sum(BIGINT) to HUGEINT, which pandas
+         -- materializes as float64 and the driver then hash-mismatches
+         -- against Spark's BIGINT despite identical values; CAST both
+         -- derived columns back to BIGINT so the oracle types match.
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS cum_tokens
+                  0) AS BIGINT) AS cum_tokens
   FROM curated
 )
 SELECT doc_id, n_tokens, cum_tokens,
-       cum_tokens // {SHARD_TOKENS} AS shard_id
+       CAST(cum_tokens // {SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM x
 """
 

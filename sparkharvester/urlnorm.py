@@ -98,6 +98,14 @@ def canonicalize_expr(url: Column) -> Column:
     # lambda is interpreted per element, not codegen) — equivalence
     # proven bit-exact on the 2M-URL bench corpus
     # (tools/microbench_canon.py gates on exceptAll in both directions).
+    # CAVEAT (ADVICE r3): the equivalence holds for tokens WITHOUT line
+    # terminators — Java-regex '.' doesn't match \n and '$' permits a
+    # trailing newline, so the old rlike dropped 'a=\n'-style tokens the
+    # arithmetic form keeps.  Raw control characters cannot reach here
+    # on the crawl path (link extraction splits on whitespace and the
+    # synth/bench corpora are newline-free), and keeping such a token is
+    # the more faithful urllib parse anyway (urllib.parse.parse_qsl
+    # keeps values containing \n), so the arithmetic form stands.
     params = F.filter(
         F.split(query_raw, "&"),
         lambda t: (F.instr(t, "=") >= 2) & (F.length(t) > F.instr(t, "=")),

@@ -407,3 +407,43 @@ def test_metrics_lineage(spark):
     # in parity mode one round per depth, so round == depth per row
     assert eng.metrics.filter(F.col("round") != F.col("depth")).count() == 0
     assert eng.metrics.filter(F.col("run_id").isNull()).count() == 0
+
+
+def test_three_rounds_politeness_deferral(spark, sf_dir):
+    """crawl_three_rounds must actually exercise the deferral semantic:
+    hosts over budget in round 0 defer candidates, which re-enter the
+    next round's pool at their ORIGINAL depth and (depth-first priority)
+    are admitted before that round's fresh links."""
+    from sparkharvester.q_crawl import _B3_TOKENS, crawl_three_rounds
+
+    rows = crawl_three_rounds(spark, sf_dir).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    assert set(by_round) == {0, 1, 2}
+
+    # per-(round, host) admissions never exceed the budget
+    adm = {}
+    for r in rows:
+        if r.admitted:
+            k = (r["round"], r.host)
+            adm[k] = adm.get(k, 0) + 1
+    assert adm and max(adm.values()) <= _B3_TOKENS
+
+    # deferral occurred in round 0...
+    deferred0 = {(r.seed_id, r.url_id) for r in by_round[0] if not r.admitted}
+    assert deferred0, "round 0 must overflow some host budget"
+    # ...and some deferred row was re-admitted in round 1 at depth 0
+    readmitted = [r for r in by_round[1]
+                  if (r.seed_id, r.url_id) in deferred0 and r.admitted]
+    assert readmitted and all(r.depth == 0 for r in readmitted)
+    # depth-priority: a host admitting a fresh (depth>=1) link in round 1
+    # must have no deferred depth-0 row left unadmitted on that host
+    for host in {r.host for r in by_round[1]}:
+        host_rows = [r for r in by_round[1] if r.host == host]
+        if any(r.admitted and r.depth >= 1 for r in host_rows):
+            assert not any((not r.admitted) and r.depth == 0
+                           for r in host_rows)
+    # a row is never admitted twice across rounds (seen set accumulates)
+    admitted_keys = [(r.seed_id, r.url_id) for r in rows if r.admitted]
+    assert len(admitted_keys) == len(set(admitted_keys))

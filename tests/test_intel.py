@@ -123,3 +123,68 @@ def test_ioc_total_includes_all_lists(spark):
         len(r["md5"]) + len(r["sha1"]) + len(r["sha256"]) + len(r["cves"]) + \
         len(r["btc_addresses"]) + len(r["xmr_addresses"]) + \
         len(r["onion_addresses"]) + len(r["domains"]) + len(r["urls"])
+
+
+def _reference_as_dict(row) -> dict:
+    """Reference IOCs.as_dict() serialization contract, re-derived from
+    intelligence.py:164-179: fixed key order, urls capped at 20 IN THE
+    DICT while total counts the uncapped (<=50) extraction lists."""
+    return {
+        "ipv4": list(row["ipv4"]),
+        "emails": list(row["emails"]),
+        "md5": list(row["md5"]),
+        "sha1": list(row["sha1"]),
+        "sha256": list(row["sha256"]),
+        "cves": list(row["cves"]),
+        "btc_addresses": list(row["btc_addresses"]),
+        "xmr_addresses": list(row["xmr_addresses"]),
+        "onion_addresses": list(row["onion_addresses"]),
+        "domains": list(row["domains"]),
+        "urls": list(row["urls"])[:20],
+        "pgp_present": bool(row["pgp_present"]),
+        "total": int(row["ioc_total"]),
+    }
+
+
+def _ioc_blob(spark, text):
+    from sparkharvester.intel import ioc_data_column
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    row = with_iocs(df).withColumn("ioc_data", ioc_data_column()).collect()[0]
+    return row, row["ioc_data"]
+
+
+def test_ioc_data_byte_parity_mixed(spark):
+    """The durable ioc_data blob must byte-equal the reference's
+    json.dumps(iocs.as_dict()) (storage.py:129, default separators)."""
+    import json
+
+    text = ("8.8.8.8 leaked a@b.com and cve-2021-44228; md5 "
+            "d41d8cd98f00b204e9800998ecf8427e; visit http://evil.example"
+            ".net/path?id=1 market on example.com -----BEGIN PGP")
+    row, blob = _ioc_blob(spark, text)
+    assert blob == json.dumps(_reference_as_dict(row))
+    assert row["pgp_present"] is True
+    assert row["ipv4"] and row["emails"] and row["cves"] and row["urls"]
+
+
+def test_ioc_data_byte_parity_empty(spark):
+    import json
+
+    row, blob = _ioc_blob(spark, "nothing of interest here")
+    assert blob == json.dumps(_reference_as_dict(row))
+    assert '"ipv4": []' in blob and '"pgp_present": false' in blob
+
+
+def test_ioc_data_url_cap_20_total_uncapped(spark):
+    """>20 urls: the blob serialises 20 (as_dict cap) while total keeps
+    counting the <=50-capped extraction list — reference parity."""
+    import json
+
+    urls = " ".join(f"http://site{i:02d}.example.org/page" for i in range(30))
+    row, blob = _ioc_blob(spark, urls)
+    assert len(row["urls"]) == 30
+    d = json.loads(blob)
+    assert len(d["urls"]) == 20
+    assert d["total"] == row["ioc_total"] >= 30
+    assert blob == json.dumps(_reference_as_dict(row))

@@ -35,6 +35,14 @@ def compare(spark_df, sql: str, con) -> tuple[bool, str]:
         return False, f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Be at least as strict as the driver: an int column on one side
+        # and a float on the other (e.g. DuckDB HUGEINT -> float64 from a
+        # windowed sum) is a type mismatch the driver's value-hash would
+        # catch, so fail here instead of coercing through np.allclose.
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds == {"i", "f"} or kinds == {"u", "f"}:
+            return False, (f"col {c} dtype mismatch {av.dtype} vs {bv.dtype} "
+                           "(int-vs-float; CAST the oracle)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             import numpy as np
             if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0,
