@@ -183,8 +183,11 @@ def main() -> None:
     # vs-baseline footer — carry them across regenerations
     preserved = ""
     try:
+        import re
+
         old = open("BENCH/BASELINE.md").read()
-        i = old.find("## Round-3 A/B")
+        m = re.search(r"^## Round-", old, flags=re.M)
+        i = m.start() if m else -1
         j = old.find("## vs the reference-implied baseline", max(i, 0))
         if i != -1:
             preserved = old[i:j if j != -1 else len(old)].rstrip() + "\n\n"
