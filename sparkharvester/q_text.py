@@ -344,3 +344,219 @@ def curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "cum_tokens",
         F.expr(f"cum_tokens div {SHARD_TOKENS}").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (Rae et al. 2021 §A1.1, public paper):
+# the fraction of word-2-gram occurrences that are duplicates and the
+# share of the single most frequent 2-gram.  Training-data builds gate
+# on these to drop boilerplate/spam; this corpus is single-line text,
+# so the n-gram form (not the duplicate-LINE form) is the applicable
+# one.  Pure per-doc map — zero shuffle, linear to 100 TB; the counting
+# runs in ONE vectorized pandas UDF pass (Counter per doc) because the
+# JVM higher-order-function alternative evaluates its lambda
+# interpreted per element (~20 µs/elem — same measurement as
+# q_dedup._shingles_udf's rationale).
+# ---------------------------------------------------------------------------
+
+REP_N = 2              # word n-gram order for the repetition scores
+REP_DUP_FLAG = 0.06    # dup_gram_frac above this flags the doc (~p90)
+
+_REP_TOKEN_RE = r"[a-z0-9]+"
+
+
+def _rep_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    def rep(texts):
+        import re
+        from collections import Counter
+
+        tok_re = re.compile(_REP_TOKEN_RE)
+        n_l, dup_l, top_l = [], [], []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            grams = [" ".join(toks[i:i + REP_N])
+                     for i in range(len(toks) - REP_N + 1)]
+            n = len(grams)
+            if n == 0:
+                n_l.append(0); dup_l.append(0.0); top_l.append(0.0)
+                continue
+            c = Counter(grams)
+            n_l.append(n)
+            dup_l.append((n - len(c)) / n)
+            top_l.append(max(c.values()) / n)
+        return pd.DataFrame({"n_grams": n_l, "dup_frac": dup_l,
+                             "top_frac": top_l})
+
+    return pandas_udf(
+        rep, "n_grams long, dup_frac double, top_frac double")
+
+
+def _rep_sql() -> str:
+    toks = f"regexp_extract_all(lower(text), '{_REP_TOKEN_RE}')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN length(toks) >= {REP_N} THEN
+      list_transform(generate_series(1, length(toks) - {REP_N - 1}),
+                     i -> toks[i] || ' ' || toks[i + 1])
+    ELSE [] END AS grams
+  FROM t
+),
+p AS (
+  SELECT doc_id, CAST(length(grams) AS BIGINT) AS n_grams,
+         CAST(length(list_distinct(grams)) AS BIGINT) AS n_distinct
+  FROM g WHERE length(grams) > 0
+),
+tp AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams,
+       round((p.n_grams - p.n_distinct) / CAST(p.n_grams AS DOUBLE), 6)
+         AS dup_gram_frac,
+       round(tp.top_c / CAST(p.n_grams AS DOUBLE), 6) AS top_gram_frac,
+       ((p.n_grams - p.n_distinct) / CAST(p.n_grams AS DOUBLE))
+         > {REP_DUP_FLAG} AS repetitive
+FROM p JOIN tp USING (doc_id)
+"""
+
+
+@register(
+    "text_repetition",
+    oracle=_rep_sql(),
+    doc=f"Gopher-style repetition scores per doc: duplicate word-"
+        f"{REP_N}-gram fraction + most-frequent-{REP_N}-gram share, "
+        f"flag at dup_frac > {REP_DUP_FLAG} (zero-shuffle vectorized "
+        "map; the n-gram form of the duplicate-line filter)",
+    bench=True,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    r = d.withColumn("__r", _rep_udf()(F.col("text"))).select(
+        "doc_id",
+        F.col("__r.n_grams").alias("n_grams"),
+        F.col("__r.dup_frac").alias("__dup"),
+        F.col("__r.top_frac").alias("__top"),
+    ).filter(F.col("n_grams") > 0)
+    return r.select(
+        "doc_id", "n_grams",
+        F.round("__dup", 6).alias("dup_gram_frac"),
+        F.round("__top", 6).alias("top_gram_frac"),
+        (F.col("__dup") > REP_DUP_FLAG).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: flag training docs sharing any word-4-gram
+# with a held-out eval slice — the contamination check every training-
+# data build runs against its benchmark suites before training.  The
+# eval slice here is doc_id % 97 == 0 (a deterministic stand-in for
+# the benchmark corpus).
+#
+# Scale shape: the eval side is small BY NATURE (benchmark suites are
+# orders of magnitude smaller than the training corpus), so its
+# distinct (gram, eval_id) table BROADCASTs; the train side is one
+# explode + distinct and one hash-join against the broadcast — the
+# only shuffle is the final per-doc agg, bounded by the number of
+# contaminated (doc, gram) hits, not the corpus.  No self-join, no
+# quadratic path.
+# ---------------------------------------------------------------------------
+
+DECON_N = 4            # word n-gram order (match-length of the check)
+DECON_EVAL_MOD = 97    # doc_id % MOD == 0 forms the eval slice
+
+
+def _grams_udf(n: int):
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    key = f"grams{n}"
+    if key not in _GRAMS_UDF_CACHE:
+        def grams(texts):
+            import re
+
+            tok_re = re.compile(_REP_TOKEN_RE)
+            out = []
+            for t in texts:
+                toks = tok_re.findall(t.lower())
+                out.append([" ".join(toks[i:i + n])
+                            for i in range(len(toks) - n + 1)])
+            return pd.Series(out, index=texts.index)
+
+        _GRAMS_UDF_CACHE[key] = pandas_udf(grams, "array<string>")
+    return _GRAMS_UDF_CACHE[key]
+
+
+_GRAMS_UDF_CACHE: dict[str, object] = {}
+
+
+def _decon_sql() -> str:
+    toks = f"regexp_extract_all(lower(text), '{_REP_TOKEN_RE}')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN length(toks) >= {DECON_N} THEN
+      list_transform(generate_series(1, length(toks) - {DECON_N - 1}),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             || toks[i+3])
+    ELSE [] END AS grams
+  FROM t
+),
+evg AS (
+  SELECT DISTINCT eval_id, gram FROM (
+    SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g
+    WHERE doc_id % {DECON_EVAL_MOD} = 0)
+),
+trg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(grams) AS gram FROM g
+    WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+FROM trg t JOIN evg e USING (gram)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "curate_decontaminate",
+    oracle=_decon_sql(),
+    doc=f"eval-set decontamination: training docs sharing any word-"
+        f"{DECON_N}-gram with the held-out eval slice (doc_id % "
+        f"{DECON_EVAL_MOD} == 0), with shared-gram and eval-doc "
+        "counts; broadcast eval grams, no self-join",
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.withColumn("grams", _grams_udf(DECON_N)(F.col("text")))
+    ev = (
+        g.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"),
+                F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    # no .distinct() on the train side: countDistinct in the agg already
+    # collapses repeated (doc, gram) occurrences, and a pre-join distinct
+    # would shuffle the ENTIRE exploded corpus — the broadcast-join path
+    # filters to contaminated hits first, so the only shuffle is the
+    # bounded per-doc agg.
+    tr = g.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        "doc_id", F.explode("grams").alias("gram"))
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )

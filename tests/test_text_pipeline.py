@@ -1,0 +1,53 @@
+"""Behavioral tests for the round-4 text-pipeline ops: Gopher-style
+repetition scores and eval-set decontamination.  The DuckDB oracles
+prove Spark == SQL; these prove the SEMANTICS are the intended ones on
+constructed inputs."""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sparkharvester.q_text import (
+    DECON_EVAL_MOD,
+    REP_DUP_FLAG,
+    _rep_udf,
+    curate_decontaminate,
+    text_repetition,
+)
+
+
+def test_repetition_scores_on_constructed_docs(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "spam spam spam spam spam",          # all 2-grams identical
+            "one two three four five",           # all distinct
+            "a b a b c",                         # 'a b' twice of 4 grams
+        ],
+    }))
+    r = {row.doc_id: row for row in docs.withColumn(
+        "s", _rep_udf()(F.col("text"))).select("doc_id", "s.*").collect()}
+    assert r[0].n_grams == 4
+    assert r[0].dup_frac == 0.75 and r[0].top_frac == 1.0
+    assert r[1].dup_frac == 0.0 and r[1].top_frac == 0.25
+    assert r[2].n_grams == 4 and r[2].dup_frac == 0.25
+    assert r[2].top_frac == 0.5
+
+
+def test_repetition_flag_consistent(spark, sf_dir):
+    rows = text_repetition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.repetitive == (r.dup_gram_frac > REP_DUP_FLAG)
+        assert 0.0 <= r.dup_gram_frac < 1.0
+        # the top gram accounts for >= one occurrence (6-dp rounding)
+        assert r.top_gram_frac * r.n_grams >= 0.999
+
+
+def test_decontaminate_excludes_eval_and_counts(spark, sf_dir):
+    rows = curate_decontaminate(spark, sf_dir).collect()
+    assert rows, "the corpus must contain some contaminated docs"
+    for r in rows:
+        # eval docs are never reported as contaminated training docs
+        assert r.doc_id % DECON_EVAL_MOD != 0
+        assert r.n_shared_grams >= 1 and r.n_eval_docs >= 1
