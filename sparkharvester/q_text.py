@@ -560,3 +560,73 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — the data-MIXING step of a
+# training build: each language stratum keeps a configured fraction of
+# its docs, decided by a per-doc md5-derived uniform draw, so the
+# sample is (a) exactly reproducible across runs/engines, (b) a pure
+# per-row map — no shuffle, no sampling state, linear to 100 TB — and
+# (c) consistent under re-partitioning (the draw depends only on
+# doc_id, never on partition layout, unlike df.sample()).
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES: dict[str, float] = {
+    "en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.25, "und": 0.1,
+}
+_SAMPLE_RES = 1_000_000   # draw resolution: u = (h % RES) / RES
+
+
+def _sample_sql() -> str:
+    langid = _langid_sql().strip()
+    h = ("CAST('0x' || substr(md5('sample/' || CAST(doc_id AS VARCHAR)), "
+         "1, 15) AS BIGINT)")
+    rate = "CASE lang_pred " + " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    ) + " END"
+    return f"""
+WITH lang AS ({langid}),
+drawn AS (
+  SELECT doc_id, lang_pred,
+         round(({h} % {_SAMPLE_RES}) / CAST({_SAMPLE_RES} AS DOUBLE), 6) AS u,
+         {rate} AS rate
+  FROM lang
+)
+SELECT doc_id, lang_pred, u
+FROM drawn WHERE u < rate
+"""
+
+
+@register(
+    "curate_sample",
+    oracle=_sample_sql(),
+    doc="deterministic stratified sampling for data mixing: per-language"
+        f" keep rates {SAMPLE_RATES}, decided by a per-doc md5 uniform "
+        "draw — reproducible, partition-layout-independent, zero-shuffle",
+)
+def curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lang = text_langid(spark, sf_dir)
+    u = F.round(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sample/"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 15),
+                16, 10,
+            ).cast("long"),
+            F.lit(_SAMPLE_RES),
+        ) / F.lit(float(_SAMPLE_RES)),
+        6,
+    )
+    rate = None
+    for lang_name, r in SAMPLE_RATES.items():
+        c = F.when(F.col("lang_pred") == lang_name, F.lit(r))
+        rate = c if rate is None else rate.when(
+            F.col("lang_pred") == lang_name, F.lit(r))
+    return (
+        lang.withColumn("u", u).withColumn("__rate", rate)
+        .filter(F.col("u") < F.col("__rate"))
+        .select("doc_id", "lang_pred", "u")
+    )

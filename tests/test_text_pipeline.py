@@ -51,3 +51,28 @@ def test_decontaminate_excludes_eval_and_counts(spark, sf_dir):
         # eval docs are never reported as contaminated training docs
         assert r.doc_id % DECON_EVAL_MOD != 0
         assert r.n_shared_grams >= 1 and r.n_eval_docs >= 1
+
+
+def test_sample_rates_and_determinism(spark, sf_dir):
+    from sparkharvester.q_text import SAMPLE_RATES, curate_sample
+    from sparkharvester.q_text import text_langid
+
+    kept = curate_sample(spark, sf_dir).collect()
+    assert kept
+    total = {r.lang_pred: 0 for r in kept}
+    for r in text_langid(spark, sf_dir).collect():
+        total[r.lang_pred] = total.get(r.lang_pred, 0) + 1
+    by_lang = {}
+    for r in kept:
+        by_lang[r.lang_pred] = by_lang.get(r.lang_pred, 0) + 1
+        assert 0.0 <= r.u < SAMPLE_RATES[r.lang_pred]
+    # observed keep fraction tracks the configured rate (binomial CI)
+    for lang, n_kept in by_lang.items():
+        n = total[lang]
+        if n >= 30:
+            rate = SAMPLE_RATES[lang]
+            sd = (rate * (1 - rate) / n) ** 0.5
+            assert abs(n_kept / n - rate) <= max(5 * sd, 0.02), (lang, n_kept, n)
+    # deterministic: a second build yields the identical sample
+    again = {(r.doc_id, r.u) for r in curate_sample(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.u) for r in kept}
