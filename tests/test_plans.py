@@ -24,7 +24,8 @@ def _plan(df) -> str:
     "j1_left_outer", "dedup_lsh_verified", "dedup_phash_hamming",
     "img_curate", "img_hamming_knn", "crawl_priority_order",
     "dedup_minhash_lsh", "rel_nation_revenue", "curate_shards",
-    "crawl_robots_gate",
+    "crawl_robots_gate", "text_repetition", "curate_decontaminate",
+    "curate_sample", "crawl_three_rounds",
 ])
 def test_no_cartesian_product(spark, sf_dir, name):
     df = all_queries()[name].build(spark, sf_dir)
@@ -54,4 +55,11 @@ def test_robots_gate_broadcasts_robots_table(spark, sf_dir):
     """The robots membership join must broadcast the tiny robots side —
     candidates never shuffle (frontier.py runtime shape)."""
     plan = _plan(all_queries()["crawl_robots_gate"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side is small by nature (benchmark suites) and must
+    broadcast — the train side never shuffles before the join."""
+    plan = _plan(all_queries()["curate_decontaminate"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
