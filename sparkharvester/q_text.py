@@ -630,3 +630,48 @@ def curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("__rate"))
         .select("doc_id", "lang_pred", "u")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL curation composition — the end-to-end manifest a training build
+# actually ships: language + quality gates + exact-dedup winners
+# (curate_training_set) ∘ NOT repetitive (text_repetition) ∘ NOT
+# contaminated against the eval slice (curate_decontaminate).  Each
+# stage is itself oracle-green; the composition proves the stages
+# share one doc_id key space and compose without recomputation
+# anomalies.  Scale shape: three map-heavy branches over one
+# column-pruned scan, joined on doc_id (the decontamination branch is
+# an anti-join against the BOUNDED contaminated set, broadcast-able).
+# ---------------------------------------------------------------------------
+
+
+def _final_sql() -> str:
+    return f"""
+WITH curated AS ({_curate_sql().strip()}),
+rep AS ({_rep_sql().strip()}),
+decon AS ({_decon_sql().strip()})
+SELECT c.doc_id, c.n_tokens, r.dup_gram_frac
+FROM curated c
+JOIN rep r ON r.doc_id = c.doc_id AND NOT r.repetitive
+WHERE NOT EXISTS (SELECT 1 FROM decon d WHERE d.doc_id = c.doc_id)
+"""
+
+
+@register(
+    "curate_final",
+    oracle=_final_sql(),
+    doc="end-to-end curation manifest: lang + quality + exact-dedup "
+        "winners, minus repetitive docs, minus docs contaminated "
+        "against the eval slice — the composed output of "
+        "curate_training_set ∘ text_repetition ∘ curate_decontaminate",
+)
+def curate_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curated = curate_training_set(spark, sf_dir).select("doc_id", "n_tokens")
+    rep = text_repetition(spark, sf_dir).filter(~F.col("repetitive")) \
+        .select("doc_id", "dup_gram_frac")
+    contaminated = curate_decontaminate(spark, sf_dir).select("doc_id")
+    return (
+        curated.join(rep, "doc_id")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "dup_gram_frac")
+    )
