@@ -283,8 +283,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(_docs_shingled(spark, sf_dir))
 
 
-def _lsh_candidates(shingled: DataFrame) -> DataFrame:
-    """Distinct LSH candidate pairs (doc_a < doc_b) via banded self-join."""
+def _band_table(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band table from shingles."""
     hashed = shingled.withColumn(
         "__sigs", _sig_udf()(F.col("shingles"))
     )
@@ -301,14 +301,18 @@ def _lsh_candidates(shingled: DataFrame) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def _lsh_candidates(shingled: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) via banded self-join."""
     # persist: the self-join below would otherwise recompute the full
     # signature lineage for BOTH join sides; DISK_ONLY like the shingle
     # caches (the band table is O(rows x bands) — a memory cache of it
     # at corpus scale competes with shuffle/execution memory).
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash").persist(
-        _SHINGLE_CACHE_LEVEL)
+    bands = _band_table(shingled).persist(_SHINGLE_CACHE_LEVEL)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -718,3 +722,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
     )
     return jac
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL near-dup: a NEW crawl batch checked against the EXISTING
+# corpus — the recurring-crawl update path (today's pages vs the
+# already-ingested index), as opposed to the one-shot self-join of
+# dedup_lsh_verified.  Batch = doc_id % 10 == 0 (a deterministic
+# stand-in for "this round's new pages"); corpus = the rest.
+#
+# Scale shape: the incoming batch is small BY NATURE relative to the
+# corpus, so its band table BROADCASTs — the corpus-side band table
+# streams through the join with NO shuffle and no self-join; exact
+# Jaccard verifies candidates only.  This is the asymmetric join every
+# production dedup index runs per ingest cycle.
+# ---------------------------------------------------------------------------
+
+_INC_BATCH_MOD = 10
+
+
+def _incremental_sql() -> str:
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ".join(f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)"
+                      for r in range(LSH_ROWS))
+        + ") AS band_hash FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    prelude = _LSH_CAND_SQL.format(mh_cols=_minhash_sql_cols(),
+                                   band_union=band_union)
+    return f"""{prelude},
+inc_cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM bands n JOIN bands c
+    ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+  WHERE n.doc_id % {_INC_BATCH_MOD} = 0
+    AND c.doc_id % {_INC_BATCH_MOD} <> 0
+)
+SELECT new_doc, corpus_doc, round(jac, 4) AS jaccard FROM (
+  SELECT i.new_doc, i.corpus_doc,
+         CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(length(a.sh) + length(b.sh)
+                  - length(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+  FROM inc_cand i
+  JOIN sets a ON a.doc_id = i.new_doc
+  JOIN sets b ON b.doc_id = i.corpus_doc
+)
+WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_sql(),
+    doc=f"incremental near-dup: new batch (doc_id % {_INC_BATCH_MOD} "
+        "== 0) LSH-checked against the existing corpus — broadcast "
+        "batch bands, corpus streams with no shuffle/self-join, exact "
+        f"Jaccard >= {JACCARD_THRESHOLD} verify on candidates only",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _docs_shingled(spark, sf_dir).persist(_SHINGLE_CACHE_LEVEL)
+    is_batch = F.col("doc_id") % _INC_BATCH_MOD == 0
+    bands = _band_table(shingled)
+
+    new_bands = bands.filter(is_batch).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_hash")
+    corpus_bands = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash")
+    cand = (
+        corpus_bands.join(F.broadcast(new_bands), ["band_id", "band_hash"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+
+    sets = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    a = sets.select(F.col("doc_id").alias("new_doc"),
+                    F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("corpus_doc"),
+                    F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "new_doc").join(b, "corpus_doc")
+        .withColumn("__c", inter.cast("double"))
+        .withColumn(
+            "jac",
+            F.col("__c")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__c")).cast("double"),
+        )
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("new_doc", "corpus_doc", F.round("jac", 4).alias("jaccard"))
+    )

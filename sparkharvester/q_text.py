@@ -664,6 +664,7 @@ WHERE NOT EXISTS (SELECT 1 FROM decon d WHERE d.doc_id = c.doc_id)
         "winners, minus repetitive docs, minus docs contaminated "
         "against the eval slice — the composed output of "
         "curate_training_set ∘ text_repetition ∘ curate_decontaminate",
+    bench=True,
 )
 def curate_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = curate_training_set(spark, sf_dir).select("doc_id", "n_tokens")

@@ -70,3 +70,23 @@ def test_connected_components_chain(spark):
     assert {got[n] for n in range(10, 1011)} == {10}
     assert {got[n] for n in (5000, 5001, 5002)} == {5000}
     assert rounds[0] <= 15, f"star contraction took {rounds[0]} rounds"
+
+
+def test_incremental_is_asymmetric_and_consistent(spark, sf_dir):
+    """dedup_incremental pairs are strictly batch->corpus, and every
+    pair is also found by the symmetric self-join pipeline (the batch
+    view is a restriction of the full near-dup relation)."""
+    from sparkharvester.q_dedup import (
+        _INC_BATCH_MOD,
+        dedup_incremental,
+        dedup_lsh_verified,
+    )
+
+    inc = dedup_incremental(spark, sf_dir).collect()
+    assert inc, "the corpus must contain cross-batch near-dups"
+    full = {frozenset((r.doc_a, r.doc_b)) for r in
+            dedup_lsh_verified(spark, sf_dir).collect()}
+    for r in inc:
+        assert r.new_doc % _INC_BATCH_MOD == 0
+        assert r.corpus_doc % _INC_BATCH_MOD != 0
+        assert frozenset((r.new_doc, r.corpus_doc)) in full
