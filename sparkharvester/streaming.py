@@ -281,3 +281,84 @@ def stream_image_dedup(
     )
     q.collected = collected
     return q
+
+
+def stream_lsh_candidates(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint: str,
+):
+    """Streaming near-dup CANDIDATE detection: the MinHash-LSH index as
+    a CONTINUOUS operator.  A stream of ``(doc_id, text)`` arrivals is
+    shingled → minhashed → banded batch-side (the same vectorized UDF
+    pipeline as q_dedup), then ``applyInPandasWithState`` keyed by
+    ``(band_id, band_hash)`` emits, for every arriving doc, a candidate
+    pair against each doc previously seen in that bucket (including
+    earlier docs of the same micro-batch, in doc_id order) — the
+    streaming analog of ``dedup_incremental``'s candidate stage, with
+    the state store playing the corpus index.  Exact-Jaccard verify
+    stays a downstream batch step, as in the batch pipeline.
+
+    Union of emitted pairs over all batches == the batch self-join's
+    candidate set (tests prove equality after a<b normalization +
+    distinct).  Scale: state is hash-partitioned by band bucket; each
+    bucket holds only its member doc_ids, and md5 banding keeps
+    buckets uniform (the same physics that bounds the batch self-join).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .q_dedup import _band_table, _shingles_udf
+
+    schema = spark.read.parquet(docs_dir).schema
+
+    def emit(key, pdfs, state: GroupState):
+        seen: list = list(state.get[0]) if state.exists else []
+        out_a, out_b = [], []
+        new_ids: list = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc_id"])
+        for d in sorted(set(new_ids)):
+            if d in seen:
+                continue
+            for prior in seen:
+                lo, hi = (prior, d) if prior < d else (d, prior)
+                out_a.append(lo)
+                out_b.append(hi)
+            seen.append(d)
+        state.update((seen,))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+        .select("doc_id", "text")
+        .withColumn("shingles", _shingles_udf()(F.col("text")))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+    )
+    bands = _band_table(stream)
+    paired = bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        emit,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    collected: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        collected.extend(r.asDict() for r in df.collect())
+
+    q = (
+        paired.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.collected = collected
+    return q

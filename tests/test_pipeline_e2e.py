@@ -124,6 +124,9 @@ def test_cli_durable_intel_columns(spark, tmp_path, capsys):
         "urls", "pgp_present", "total",
     ]
     assert blob["total"] == row["ioc_total"]
+    # byte parity with the reference's json.dumps serialization
+    # (storage.py:129: default ", "/": " separators)
+    assert row["ioc_data"] == _json.dumps(blob)
 
 
 def test_cli_images_table(spark, tmp_path):

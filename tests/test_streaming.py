@@ -168,3 +168,33 @@ def test_stream_image_dedup_matches_batch(spark, tmp_path):
     expected = {(1, 10), (2, 11), (3, 12), (4, 13), (5, 14),
                 (6, 23), (7, 24)}
     assert admitted == expected
+
+
+def test_stream_lsh_candidates_match_batch_self_join(spark, tmp_path):
+    """The streaming LSH index emits, over all micro-batches, exactly
+    the batch self-join's candidate pair set."""
+    import time as _t
+
+    import pandas as pd
+
+    from sparkharvester.q_dedup import _docs_shingled, _lsh_candidates
+    from sparkharvester.streaming import stream_lsh_candidates
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    d = tmp_path / "docs"
+    d.mkdir()
+    # three arrival batches with distinct mtimes
+    for i, chunk in enumerate(
+            (docs.iloc[:150], docs.iloc[150:300], docs.iloc[300:])):
+        chunk.to_parquet(d / f"b{i}.parquet")
+        _t.sleep(1.1)
+
+    q = stream_lsh_candidates(spark, str(d), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    streamed = {(r["doc_a"], r["doc_b"]) for r in q.collected}
+    batch = {(r.doc_a, r.doc_b) for r in
+             _lsh_candidates(_docs_shingled(spark, sf_dir)).collect()}
+    assert batch, "the corpus must contain LSH candidates"
+    assert streamed == batch
