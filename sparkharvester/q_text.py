@@ -693,3 +693,66 @@ def curate_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "dup_gram_frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics rollup — the per-language size/token-distribution
+# report a training build publishes with every corpus release: doc
+# counts, total tokens, and exact p50/p90/p99 token quantiles (linear
+# interpolation — identical definition in Spark `percentile` and
+# DuckDB `quantile_cont`).  One fused scan (langid + token count in
+# one projection) → one agg keyed by language: the group count is tiny
+# (|langs|), so the exact percentile's per-group state is bounded and
+# the whole rollup is a single shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_stats_sql() -> str:
+    langid = _langid_sql().strip()
+    return f"""
+WITH lang AS ({langid}),
+base AS (
+  SELECT l.lang_pred,
+         CAST(greatest(length(regexp_extract_all(d.text, '\\S+')), 1)
+              AS BIGINT) AS n_tokens
+  FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+)
+SELECT lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens
+FROM base GROUP BY lang_pred
+"""
+
+
+@register(
+    "text_corpus_stats",
+    oracle=_corpus_stats_sql(),
+    doc="per-language corpus release stats: doc count, total tokens, "
+        "exact p50/p90/p99 token quantiles (one fused scan, one "
+        "small-group agg)",
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    tl = _padded_lower(F.col("text"))
+    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
+    df = d.withColumns(scores)
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    base = df.select(
+        pred.alias("lang_pred"),
+        F.greatest(F.regexp_count("text", F.lit(r"\S+")),
+                   F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    pct = F.percentile("n_tokens", F.lit([0.5, 0.9, 0.99]))
+    return base.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(pct[0], 4).alias("p50_tokens"),
+        F.round(pct[1], 4).alias("p90_tokens"),
+        F.round(pct[2], 4).alias("p99_tokens"),
+    )
