@@ -161,18 +161,33 @@ _UDF_CACHE: dict[str, object] = {}
 
 
 def _hits_udf():
-    """Vectorized pandas UDF: text -> array<int> of per-category keyword
-    hits (intelligence.py:303-304 semantics: lowercase, non-overlapping
-    str.count per keyword, summed per category)."""
+    """Vectorized pandas UDF: text -> array<int> of the 9 per-category
+    keyword hits (intelligence.py:303-304 semantics: lowercase,
+    non-overlapping str.count per keyword, summed per category) PLUS
+    the word count as a final 10th element.
+
+    The word count rides the same Arrow pass deliberately: it is
+    consumed by all 9 score expressions, and when the risk-label
+    predicate is pushed down into a Filter the optimizer INLINES the
+    producer expression per use — a column-expression word_count would
+    re-embed the enriched-text concat + a regexp scan 9 times in one
+    condition (measured: trips Janino's 64 KB limit -> whole stage
+    silently interpreted, and recomputes the regex 9x per row even
+    then).  As a UDF output slot it is a cheap element_at everywhere.
+    Same semantics as word_count(): max(#\\S+ runs, 1)."""
     if "hits" not in _UDF_CACHE:
+        import re
+
         from pyspark.sql.functions import pandas_udf
 
         kws = [[kw.lower() for kw in CATEGORIES[c]] for c in CATEGORY_ORDER]
+        ws_re = re.compile(r"\S+")
 
         def hits(texts: pd.Series) -> pd.Series:
             tls = texts.str.lower()
             return pd.Series(
-                [[sum(t.count(k) for k in cat) for cat in kws] for t in tls],
+                [[sum(t.count(k) for k in cat) for cat in kws]
+                 + [max(len(ws_re.findall(t)), 1)] for t in tls],
                 index=texts.index,
             )
 
@@ -198,7 +213,10 @@ def with_threat(df: DataFrame, text_col: str = "text") -> DataFrame:
     hits_stage = hits_stage.withColumns({
         **{f"__h{i}": F.element_at(F.col("__harr"), i + 1)
            for i in range(len(CATEGORY_ORDER))},
-        "__wc": word_count(F.lower(F.col(text_col))).cast("double"),
+        # word count is the UDF's final slot — see _hits_udf on why it
+        # must NOT be a column expression here
+        "__wc": F.element_at(F.col("__harr"),
+                             len(CATEGORY_ORDER) + 1).cast("double"),
     })
 
     # Stage 2: cheap arithmetic on the hit columns.
