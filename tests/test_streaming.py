@@ -198,3 +198,38 @@ def test_stream_lsh_candidates_match_batch_self_join(spark, tmp_path):
              _lsh_candidates(_docs_shingled(spark, sf_dir)).collect()}
     assert batch, "the corpus must contain LSH candidates"
     assert streamed == batch
+
+
+def test_stream_lsh_candidates_restart_recovers_state(spark, tmp_path):
+    """Kill the streaming LSH query between batches; a restart from the
+    same checkpoint must resume the band-bucket state exactly — no
+    pair re-emitted, no pair lost, final union == batch self-join."""
+    import time as _t
+
+    import pandas as pd
+
+    from sparkharvester.q_dedup import _docs_shingled, _lsh_candidates
+    from sparkharvester.streaming import stream_lsh_candidates
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    d = tmp_path / "docs"
+    d.mkdir()
+    ck = str(tmp_path / "ckpt")
+    docs.iloc[:250].to_parquet(d / "b0.parquet")
+    _t.sleep(1.1)
+
+    q1 = stream_lsh_candidates(spark, str(d), ck)
+    q1.awaitTermination(300)
+    first = {(r["doc_a"], r["doc_b"]) for r in q1.collected}
+
+    docs.iloc[250:].to_parquet(d / "b1.parquet")
+    q2 = stream_lsh_candidates(spark, str(d), ck)
+    q2.awaitTermination(300)
+    second = {(r["doc_a"], r["doc_b"]) for r in q2.collected}
+
+    assert not (first & second), "restart must not re-emit prior pairs"
+    batch = {(r.doc_a, r.doc_b) for r in
+             _lsh_candidates(_docs_shingled(spark, sf_dir)).collect()}
+    assert first | second == batch
