@@ -612,14 +612,19 @@ WITH cand AS (
          '/p' || CAST(doc_id % 23 AS VARCHAR) AS path
   FROM documents
 ),
+hosts AS (SELECT DISTINCT host, {_rb_h('host')} AS h FROM cand),
 robots AS (
   SELECT host, '/p' || CAST(h % 7 AS VARCHAR) AS prefix
-  FROM (SELECT DISTINCT host, {_rb_h('host')} AS h FROM cand)
-  WHERE h % 3 = 0
+  FROM hosts WHERE h % 3 = 0
+  UNION ALL
+  SELECT host, '/p' || CAST(h % 10 AS VARCHAR) AS prefix
+  FROM hosts WHERE h % 3 = 0 AND h % 5 = 0 AND (h % 10) <> (h % 7)
 )
 SELECT c.doc_id, c.host, c.path,
-       coalesce(starts_with(c.path, r.prefix), FALSE) AS robots_blocked
+       coalesce(bool_or(starts_with(c.path, r.prefix)), FALSE)
+         AS robots_blocked
 FROM cand c LEFT JOIN robots r ON c.host = r.host
+GROUP BY c.doc_id, c.host, c.path
 """
 
 
@@ -627,9 +632,10 @@ FROM cand c LEFT JOIN robots r ON c.host = r.host
     "crawl_robots_gate",
     oracle=_ROBOTS_SQL,
     doc="robots.txt disallow gate (north rule): md5-derived per-host "
-        "prefix rule (synth.robots_for_host semantics) + broadcast "
-        "membership join + startswith — frontier.py robots path, "
-        "driver-checkable",
+        "MULTI-prefix rules (synth.robots_for_host semantics: every "
+        "5th disallowing host carries a second rule) + broadcast "
+        "membership join + per-candidate any-match — frontier.py "
+        "robots path, driver-checkable",
 )
 def crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = load(spark, sf_dir, "documents").select(
@@ -652,18 +658,29 @@ def crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             16, 10,
         ).cast("long"),
     )
-    robots = hosts.filter(F.col("__h") % 3 == 0).select(
+    dis = hosts.filter(F.col("__h") % 3 == 0)
+    robots = dis.select(
         "host",
         F.concat(F.lit("/p"), (F.col("__h") % 7).cast("string"))
         .alias("prefix"),
+    ).unionByName(
+        dis.filter((F.col("__h") % 5 == 0)
+                   & (F.col("__h") % 10 != F.col("__h") % 7)).select(
+            "host",
+            F.concat(F.lit("/p"), (F.col("__h") % 10).cast("string"))
+            .alias("prefix"),
+        )
     )
+    # one row per (host, prefix) -> any-match per candidate: the same
+    # broadcast-join + groupBy-max shape the runtime gate uses
+    # (frontier.py robots_table path)
     return (
         cand.join(F.broadcast(robots), "host", "left")
-        .withColumn(
-            "robots_blocked",
-            F.coalesce(F.col("path").startswith(F.col("prefix")), F.lit(False)),
-        )
-        .select("doc_id", "host", "path", "robots_blocked")
+        .groupBy("doc_id", "host", "path")
+        .agg(F.coalesce(
+            F.bool_or(F.col("path").startswith(F.col("prefix"))),
+            F.lit(False),
+        ).alias("robots_blocked"))
     )
 
 

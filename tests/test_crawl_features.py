@@ -447,3 +447,29 @@ def test_three_rounds_politeness_deferral(spark, sf_dir):
     # a row is never admitted twice across rounds (seen set accumulates)
     admitted_keys = [(r.seed_id, r.url_id) for r in rows if r.admitted]
     assert len(admitted_keys) == len(set(admitted_keys))
+
+
+def test_robots_multiple_rules_per_host(spark):
+    """A host whose robots carries SEVERAL disallow rules blocks every
+    matching prefix (frontier.py any-match groupBy; real robots files
+    have many Disallow lines)."""
+    synth = SynthConfig(n_hosts=2, pages_per_host=10)
+    seeds = seed_urls(synth)
+    plain = run_crawl(spark, seeds, synth,
+                      CrawlConfig(max_depth=2, max_pages=50))
+    plain_urls = {r["url"] for r in plain.pages.collect()}
+    victims = sorted(u for u in plain_urls if u not in seeds)[:2]
+    host = victims[0].split("://")[1].split("/")[0]
+    prefixes = ["/" + v.split("://")[1].split("/", 1)[1]
+                for v in victims
+                if v.split("://")[1].split("/")[0] == host]
+    assert prefixes, "need at least one victim on the chosen host"
+    gated = run_crawl(
+        spark, seeds, synth,
+        CrawlConfig(max_depth=2, max_pages=50, robots={host: prefixes}),
+    )
+    gated_urls = {r["url"] for r in gated.pages.collect()}
+    for p in prefixes:
+        blocked = f"http://{host}{p}"
+        assert any(u.startswith(blocked) for u in plain_urls)
+        assert not any(u.startswith(blocked) for u in gated_urls)
