@@ -268,3 +268,56 @@ def img_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_more import synth_allph
 
     return phash_hamming_knn(synth_allph(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Image training-shard packing: assign curated images to ~fixed
+# PIXEL-budget shards by exclusive prefix sum over the canonical image
+# order — the image-axis analog of curate_shards (the tar/webdataset
+# manifest step of an image training build).  Same scalable machinery:
+# seq.attach_grouped_prefix (range partition + driver-side P-entry
+# offset table + one mapInPandas pass), never a global window.
+# ---------------------------------------------------------------------------
+
+SHARD_PIXELS = 2_000_000
+
+
+def _img_shards_sql() -> str:
+    curate = _img_curate_sql().strip()
+    return f"""
+WITH curated AS ({curate}),
+x AS (
+  SELECT img_id, CAST(w * h AS BIGINT) AS n_pixels,
+         CAST(coalesce(sum(CAST(w * h AS BIGINT)) OVER (ORDER BY img_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_pixels
+  FROM curated
+)
+SELECT img_id, n_pixels, cum_pixels,
+       CAST(cum_pixels // {SHARD_PIXELS} AS BIGINT) AS shard_id
+FROM x
+"""
+
+
+@register(
+    "img_shards",
+    oracle=_img_shards_sql(),
+    doc=f"pack curated images into ~{SHARD_PIXELS}-pixel training "
+        "shards via range-partitioned exclusive prefix sum (webdataset "
+        "manifest step; image-axis analog of curate_shards, no global "
+        "window)",
+)
+def img_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .seq import attach_grouped_prefix
+
+    curated = img_curate(spark, sf_dir).select(
+        "img_id", (F.col("w") * F.col("h")).cast("long").alias("n_pixels"))
+    g = curated.withColumn("__g", F.lit(0))
+    out = attach_grouped_prefix(
+        g, "__g", ["img_id"],
+        succ_col="n_pixels", cum_col="cum_pixels", idx_col="__idx",
+    )
+    return out.select(
+        "img_id", "n_pixels", "cum_pixels",
+        F.expr(f"cum_pixels div {SHARD_PIXELS}").alias("shard_id"),
+    )

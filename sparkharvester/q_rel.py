@@ -261,3 +261,52 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").cast("long").alias("n_sessions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style: revenue lost to small-quantity orders — the classic
+# CORRELATED scalar subquery (per-part average quantity), expressed the
+# way Catalyst decorrelates it: one partial aggregation keyed by
+# partkey, broadcast-joined back to the filtered fact rows.  No
+# per-row subquery execution anywhere; the per-part cap table is
+# |parts|-sized, the fact side streams.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_small_qty_revenue",
+    oracle="""
+WITH cap AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand AS brand,
+       CAST(floor(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  / 7.0) AS BIGINT) AS avg_yearly_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN cap c ON c.l_partkey = l.l_partkey
+WHERE p.p_size <= 10 AND l.l_quantity < c.qty_cap
+GROUP BY p.p_brand
+""",
+    doc="TPC-H Q17-style: per-part avg-quantity correlated subquery, "
+        "decorrelated into a partial agg + broadcast join (small-qty "
+        "order revenue by brand)",
+)
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    cap = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(cap, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            # exact BIGINT cents before the division: a double sum's
+            # order-dependent last ulp could flip the floor on a boundary
+            F.floor(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                          .cast("long")) / 7.0)
+            .cast("long").alias("avg_yearly_cents")
+        )
+    )
