@@ -98,14 +98,19 @@ def canonicalize_expr(url: Column) -> Column:
     # lambda is interpreted per element, not codegen) — equivalence
     # proven bit-exact on the 2M-URL bench corpus
     # (tools/microbench_canon.py gates on exceptAll in both directions).
-    # CAVEAT (ADVICE r3): the equivalence holds for tokens WITHOUT line
-    # terminators — Java-regex '.' doesn't match \n and '$' permits a
-    # trailing newline, so the old rlike dropped 'a=\n'-style tokens the
-    # arithmetic form keeps.  Raw control characters cannot reach here
-    # on the crawl path (link extraction splits on whitespace and the
-    # synth/bench corpora are newline-free), and keeping such a token is
-    # the more faithful urllib parse anyway (urllib.parse.parse_qsl
-    # keeps values containing \n), so the arithmetic form stands.
+    # CAVEAT (ADVICE r3): the equivalence with the old rlike holds for
+    # tokens WITHOUT line terminators — Java-regex '.' doesn't match \n
+    # and '$' permits a trailing newline, so the rlike dropped
+    # 'a=\n'-style tokens the arithmetic form keeps.  Neither form
+    # matches the urllib UDF on such inputs: Python's urlsplit strips
+    # raw ASCII tab/newline from the whole URL first (WHATWG rule), so
+    # canonicalize_one turns 'a=b\nc' into 'a=bc' and drops 'a=\n' as
+    # value-less (verified).  Raw control characters cannot reach this
+    # expression on the crawl path (link extraction splits on
+    # whitespace; the synth/bench corpora are newline-free), so the
+    # supported input domain excludes them — the UDF remains the
+    # reference behavior there (x1_canonicalize_exact), and the
+    # arithmetic form stands for the codegen path.
     params = F.filter(
         F.split(query_raw, "&"),
         lambda t: (F.instr(t, "=") >= 2) & (F.length(t) > F.instr(t, "=")),
