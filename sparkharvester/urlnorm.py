@@ -15,6 +15,15 @@ Two implementations of canonicalization:
    cross-checks and as the JVM-side fast path at scale: staying out of
    Python entirely makes canonicalization a free map stage.
 
+   Documented divergences from the UDF, outside the supported input
+   domain (tests/test_urlnorm.py pins them): empty-KEY params — the
+   reference's ``if v`` filter keeps ``?=v`` while the expression form
+   requires a non-empty key and drops it; and raw ASCII tab/newline —
+   urlsplit strips them from the whole URL (WHATWG) while the
+   expression keeps them.  Neither shape occurs in crawl-path input
+   (link extraction + the synth corpora), and the UDF remains the
+   reference-exact behavior where it matters.
+
 Scale note: at a 10^10-URL frontier, canonicalization + xxhash64 is the
 per-row hot loop.  The expression version runs in whole-stage codegen;
 the pandas UDF version still processes ~1M rows/s/core via Arrow — both

@@ -73,3 +73,32 @@ def test_expr_variants_match_python(spark):
         assert r["canon"] == canonicalize_one(r["url"]), r["url"]
         assert r["valid"] == is_valid_onion_py(r["url"]), r["url"]
         assert r["bl"] == is_blacklisted_py(r["url"], ["/login"]), r["url"]
+
+
+def test_expr_vs_udf_documented_divergences(spark):
+    """Pin the expr/UDF contract at its edges (urlnorm module doc):
+    inside the supported domain they agree; empty-key params and raw
+    newlines diverge in the documented direction."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkharvester.urlnorm import canonicalize_expr, canonicalize_one
+
+    urls = [
+        # supported domain: both agree
+        "HTTP://AbC.onion/Path/?b=2&a=1&empty=#frag",
+        "http://abc.onion/x?z=9&a=1",
+        # empty-key param: reference (and UDF) keep '=v', expr drops it
+        "http://abc.onion/x?=v&c=3",
+        # raw newline: urlsplit strips it (WHATWG), expr keeps it
+        "http://abc.onion/x?a=b\nc&d=2",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got = [r[0] for r in df.select(canonicalize_expr(F.col("url"))).collect()]
+    udf = [canonicalize_one(u) for u in urls]
+    assert got[0] == udf[0] == "http://abc.onion/Path?a=1&b=2"
+    assert got[1] == udf[1]
+    assert udf[2] == "http://abc.onion/x?=v&c=3"
+    assert got[2] == "http://abc.onion/x?c=3"
+    assert udf[3] == "http://abc.onion/x?a=bc&d=2"
+    assert got[3] == "http://abc.onion/x?a=b\nc&d=2"
