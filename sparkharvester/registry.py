@@ -35,10 +35,89 @@ def register(name: str, oracle: Optional[str] = None, doc: str = "",
     return wrap
 
 
+# ---------------------------------------------------------------------------
+# Attestation slate.
+#
+# The correctness driver records at most 50 rows per round, in the
+# iteration order of __spark_entry__.queries().  With >50 registered
+# queries, ORDER decides which queries get a driver-attested
+# CORRECTNESS row, so we pin it explicitly instead of inheriting
+# import order (VERDICT r4 task #1: seven r3-green queries plus the
+# whole q_img family silently fell out of the window when new q_text
+# entries were appended mid-chain).
+#
+# Policy (documented in STATUS.md "Attestation rotation"):
+#   * ATTEST_FIRST — queries that MUST land inside the 50-row window
+#     this round: never-attested entries, entries whose implementation
+#     changed this round, and brand-new entries.
+#   * ATTEST_PARKED — long-green, low-risk entries rotated OUT this
+#     round; they re-enter the window next round so every query has a
+#     driver row within a 2-round cycle.
+#   * Everything else keeps registration order between the two lists.
+# A test (tests/test_properties.py) asserts the two lists are disjoint,
+# name every query exactly once or not at all, and that len(all) -
+# len(parked) <= 50 whenever the registry exceeds the window.
+
+ATTEST_WINDOW = 50
+
+# Rotated to the FRONT for round 5 (never driver-attested, or lost
+# their r3 row to the window, or changed this round).
+ATTEST_FIRST: list[str] = [
+    # never driver-attested in any round (VERDICT r4)
+    "crawl_three_rounds",
+    "dedup_multimodal",
+    "img_curate",
+    "img_phash_components",
+    "img_hamming_knn",
+    "img_shards",
+    # r3-green orphans that lost their driver row in r4
+    "j1_left_outer",
+    "u1_set_difference",
+    "o6_recent_events",
+    "d1_window_losers",
+    "graph_pagerank",
+    "dedup_embedding_pairs",
+    "dedup_phash_hamming",
+    # changed or added in round 5 — must be re-attested
+    # (new round-5 queries are appended here as each one lands; the
+    # test_attestation_slate_invariants test keeps the lists honest)
+    "curate_final",
+]
+
+# Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
+# in the round-6 window).
+ATTEST_PARKED: list[str] = [
+    "a4_risk_histogram",
+    "a2_intel_summary",
+    "a3_top_categories",
+    "a6_distinct_sites",
+    "d6_global_iocs",
+    "o1_high_risk_topk",
+    "x20_keyword_hits",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "rel_pricing_summary",
+    "events_hourly",
+    "f_url_filters",
+    "curate_sample",
+]
+
+
+def _slate_order(names: list[str]) -> list[str]:
+    first = [n for n in ATTEST_FIRST if n in names]
+    parked = [n for n in ATTEST_PARKED if n in names]
+    middle = [n for n in names if n not in set(first) | set(parked)]
+    return first + middle + parked
+
+
 def all_queries() -> dict[str, Query]:
     # import side-effect modules lazily to avoid circular imports
     from . import (  # noqa: F401
         q_intel, q_text, q_dedup, q_sim, q_rel, q_url, q_crawl, q_more,
-        q_img,
+        q_img, q_viz,
     )
-    return REGISTRY
+    return {n: REGISTRY[n] for n in _slate_order(list(REGISTRY))}

@@ -110,3 +110,22 @@ def test_connected_components_matches_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+def test_attestation_slate_invariants():
+    """The attestation slate (registry.py) stays coherent as queries are
+    added: lists disjoint, every listed name registered, and parking is
+    sufficient to fit the unparked set inside the driver's 50-row
+    correctness window (VERDICT r4 task #1)."""
+    from sparkharvester.registry import (
+        ATTEST_FIRST, ATTEST_PARKED, ATTEST_WINDOW, all_queries)
+
+    qs = list(all_queries())
+    assert not set(ATTEST_FIRST) & set(ATTEST_PARKED)
+    missing = (set(ATTEST_FIRST) | set(ATTEST_PARKED)) - set(qs)
+    assert not missing, f"slate names not registered: {missing}"
+    # every non-parked query must land inside the window
+    assert len(qs) - len(ATTEST_PARKED) <= ATTEST_WINDOW
+    window = set(qs[:ATTEST_WINDOW])
+    assert set(ATTEST_FIRST) <= window
+    assert len(qs) == len(set(qs))
