@@ -276,14 +276,41 @@ def with_intel(df: DataFrame, text_col: str = "text") -> DataFrame:
     return with_threat(with_iocs(df, text_col), text_col)
 
 
+# Jackson (to_json) emits UPPERCASE hex in \u00XX escapes where
+# json.dumps emits lowercase; only these 9 control-char escapes can
+# contain a hex letter (\b \t \n \f \r use the short forms in both).
+_JACKSON_HEX_FIXES = [(f"\\u00{cp:02X}", f"\\u00{cp:02x}")
+                      for cp in range(0x20)
+                      if any(c in "ABCDEF" for c in f"{cp:02X}")]
+
+
+def _json_str(col: Column) -> Column:
+    """A string column rendered as its JSON string literal (quoted,
+    escaped), byte-equal to ``json.dumps`` for all-ASCII input.
+
+    Escaping is real, not a no-op (ADVICE r4): the urls IOC pattern
+    ``[^\\s"'<>]{8,200}`` admits backslashes and non-``\\s`` control
+    characters, which MUST be escaped for the blob to stay valid JSON.
+    ``to_json(array(x))`` delegates to Jackson, whose escaping matches
+    json.dumps (``\\\\``, ``\\"``, short forms, ``\\u00XX``) except for
+    hex case, normalized below.  Known, documented divergence: Python's
+    default ``ensure_ascii=True`` escapes non-ASCII to ``\\uXXXX``
+    while Jackson emits raw UTF-8 — both are valid JSON and
+    ``json.loads``-equal; byte parity with the reference holds for
+    every all-ASCII value (tests/test_intel.py pins both facts)."""
+    j = F.to_json(F.array(col))          # ["<escaped>"] — 1-elem, no sep
+    j = j.substr(F.lit(2), F.length(j) - F.lit(2))  # strip [ ]
+    for upper, lower in _JACKSON_HEX_FIXES:
+        j = F.replace(j, F.lit(upper), F.lit(lower))
+    return j
+
+
 def _json_str_array(col: Column) -> Column:
     """Render a string array as a ``json.dumps``-style list literal:
-    ``["a", "b"]`` / ``[]`` (", " separator, quoted items)."""
+    ``["a", "b"]`` / ``[]`` (", " separator, escaped quoted items)."""
     return F.concat(
         F.lit("["),
-        F.array_join(
-            F.transform(col, lambda x: F.concat(F.lit('"'), x, F.lit('"'))),
-            ", "),
+        F.array_join(F.transform(col, _json_str), ", "),
         F.lit("]"),
     )
 
@@ -296,13 +323,12 @@ def ioc_data_column() -> Column:
     to 20 there, ``total`` counting the uncapped lists, and
     ``json.dumps`` default ``", "`` / ``": "`` separators.
 
-    String escaping is provably a no-op: every IOC value matches one of
-    the IOC_PATTERNS char classes (constants.py), none of which admit
-    ``"``, ``\\``, control characters, or non-ASCII — the url pattern
-    excludes quotes/whitespace/angle brackets explicitly — so quoting
-    the raw value IS its JSON encoding.  That keeps the blob pure
-    codegen concat (no second regex pass, no Python UDF on the durable
-    sink path); tests/test_intel.py pins byte parity on fixtures."""
+    Values are JSON-escaped via ``_json_str`` (the urls pattern admits
+    backslashes and non-``\\s`` control chars — escaping is NOT a
+    no-op; see its docstring for the one documented non-ASCII
+    divergence).  The blob stays a JVM-side expression (no Python UDF
+    on the durable sink path); tests/test_intel.py pins byte parity on
+    fixtures including backslash / control-char / >20-urls cases."""
     parts = []
     for t in IOC_LIST_FIELDS:
         col = F.slice(F.col(t), 1, 20) if t == "urls" else F.col(t)

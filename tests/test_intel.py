@@ -188,3 +188,45 @@ def test_ioc_data_url_cap_20_total_uncapped(spark):
     assert len(d["urls"]) == 20
     assert d["total"] == row["ioc_total"] >= 30
     assert blob == json.dumps(_reference_as_dict(row))
+
+
+def test_ioc_data_escapes_backslash_url(spark):
+    """ADVICE r4 (high): a URL containing a backslash must yield a
+    VALID JSON blob, byte-equal to the reference's json.dumps."""
+    import json
+
+    text = r"exploit at http://evil.example.net/a\b\c?q=1 today"
+    row, blob = _ioc_blob(spark, text)
+    assert any("\\" in u for u in row["urls"])
+    d = json.loads(blob)                       # must not raise
+    assert d == _reference_as_dict(row)
+    assert blob == json.dumps(_reference_as_dict(row))
+
+
+def test_ioc_data_escapes_control_chars(spark):
+    """Non-\\s control chars pass the urls charset; the blob must
+    escape them as json.dumps does (\\u00xx lowercase / short forms)."""
+    import json
+
+    text = "see http://evil.example.net/p\x01q\x08r\x1fs#x now"
+    row, blob = _ioc_blob(spark, text)
+    assert any("\x01" in u for u in row["urls"])
+    d = json.loads(blob)
+    assert d == _reference_as_dict(row)
+    assert blob == json.dumps(_reference_as_dict(row))
+    assert "\\u0001" in blob and "\\u001f" in blob and "\\b" in blob
+
+
+def test_ioc_data_non_ascii_value_parity(spark):
+    """Documented divergence (ADVICE r4): the reference's json.dumps
+    default ensure_ascii=True emits \\uXXXX for non-ASCII while our
+    blob keeps raw UTF-8.  Both are valid JSON and parse to the same
+    value — we pin value parity and the divergence direction."""
+    import json
+
+    text = "cache at http://evil.example.net/café/page fresh"
+    row, blob = _ioc_blob(spark, text)
+    assert any("é" in u for u in row["urls"])
+    ref = json.dumps(_reference_as_dict(row))
+    assert json.loads(blob) == json.loads(ref) == _reference_as_dict(row)
+    assert blob != ref and "café" in blob and "caf\\u00e9" in ref
