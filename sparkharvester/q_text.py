@@ -267,14 +267,13 @@ WHERE l.lang_pred = '{CURATE_LANG}'
         f"{CURATE_MIN_TOKENS} + stop_ratio>={CURATE_MIN_STOP_RATIO} + "
         "exact-dedup winners -> curated manifest",
 )
-def curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FUSED composition (round 4): the oracle joins the lang/quality/
-    winner component QUERIES, but every doc appears in all three, so
-    the inner joins are row-preserving and the whole pipeline fuses
-    into ONE projection over ONE scan + the winner window — same
-    expressions as text_langid/text_quality (shared builders, so no
-    drift), same output, 6 text scans → 1 (measured 2.32 s → ~1.2 s at
-    sf0.1; the scan saving scales with corpus size)."""
+def _curate_filtered(spark: SparkSession, sf_dir: str,
+                     keep_text: bool = False) -> DataFrame:
+    """The FUSED curation pipeline up to (and including) the gates:
+    lang/quality/winner as ONE projection over ONE scan + the winner
+    window — same expressions as text_langid/text_quality (shared
+    builders, so no drift).  ``keep_text`` retains the text column for
+    downstream fused stages (curate_final's rep/decon pass)."""
     from pyspark.sql.window import Window
 
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
@@ -298,13 +297,26 @@ def curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__n_stop").cast("double")
                 / F.col("n_tokens").cast("double"), 6),
     )
+    cols = ["doc_id", "lang_pred", "n_tokens", "stop_ratio"]
+    if keep_text:
+        cols.append("text")
     return (
         df.filter((F.col("lang_pred") == CURATE_LANG)
                   & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
                   & (F.col("stop_ratio") >= CURATE_MIN_STOP_RATIO)
                   & (F.col("doc_id") == F.col("winner")))
-        .select("doc_id", "lang_pred", "n_tokens", "stop_ratio")
+        .select(*cols)
     )
+
+
+def curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED composition (round 4): the oracle joins the lang/quality/
+    winner component QUERIES, but every doc appears in all three, so
+    the inner joins are row-preserving and the whole pipeline fuses
+    into ONE projection over ONE scan + the winner window — same
+    output, 6 text scans → 1 (measured 2.32 s → ~1.2 s at sf0.1; the
+    scan saving scales with corpus size)."""
+    return _curate_filtered(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +424,15 @@ def _rep_udf():
         rep, "n_grams long, dup_frac double, top_frac double")
 
 
+def _gram_concat(n: int) -> str:
+    """DuckDB expression for the space-joined word n-gram starting at
+    1-based list index ``i`` — GENERATED from ``n`` so the oracle can
+    never desynchronize from the Python UDF when REP_N / DECON_N
+    change (ADVICE r4: the width was hardcoded)."""
+    return " || ' ' || ".join(
+        f"toks[i + {j}]" if j else "toks[i]" for j in range(n))
+
+
 def _rep_sql() -> str:
     toks = f"regexp_extract_all(lower(text), '{_REP_TOKEN_RE}')"
     return f"""
@@ -419,7 +440,7 @@ WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
   SELECT doc_id, CASE WHEN length(toks) >= {REP_N} THEN
       list_transform(generate_series(1, length(toks) - {REP_N - 1}),
-                     i -> toks[i] || ' ' || toks[i + 1])
+                     i -> {_gram_concat(REP_N)})
     ELSE [] END AS grams
   FROM t
 ),
@@ -478,12 +499,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the benchmark corpus).
 #
 # Scale shape: the eval side is small BY NATURE (benchmark suites are
-# orders of magnitude smaller than the training corpus), so its
-# distinct (gram, eval_id) table BROADCASTs; the train side is one
-# explode + distinct and one hash-join against the broadcast — the
-# only shuffle is the final per-doc agg, bounded by the number of
+# a FIXED size — thousands of documents — regardless of corpus scale),
+# so its distinct (gram, eval_id) table BROADCASTs; the train side is
+# one explode and one hash-join against the broadcast — the only
+# shuffle is the final per-doc agg, bounded by the number of
 # contaminated (doc, gram) hits, not the corpus.  No self-join, no
 # quadratic path.
+#
+# CAVEAT (ADVICE r4): the doc_id % 97 STAND-IN eval slice grows
+# linearly with the synthetic corpus, which overstates a real eval
+# set — at true 100 TB scale a mod-N slice would blow the broadcast
+# limit, but a real benchmark suite would not.  The broadcast hint
+# encodes the REAL workload's shape (fixed-size eval side); a
+# deployment swapping in an eval set of unknown size should drop the
+# hint and let AQE's runtime size check pick the join strategy.
 # ---------------------------------------------------------------------------
 
 DECON_N = 4            # word n-gram order (match-length of the check)
@@ -522,8 +551,7 @@ WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
   SELECT doc_id, CASE WHEN length(toks) >= {DECON_N} THEN
       list_transform(generate_series(1, length(toks) - {DECON_N - 1}),
-        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
-             || toks[i+3])
+        i -> {_gram_concat(DECON_N)})
     ELSE [] END AS grams
   FROM t
 ),
@@ -674,6 +702,69 @@ WHERE NOT EXISTS (SELECT 1 FROM decon d WHERE d.doc_id = c.doc_id)
 """
 
 
+def _eval_gram_set(spark: SparkSession, sf_dir: str):
+    """Distinct word-``DECON_N``-grams of the held-out eval slice,
+    collected to the driver and broadcast as a frozenset.
+
+    Driver traffic is bounded by the eval suite's size — the same
+    contract as the PQ/IVF codebook collects (q_sim.py): benchmark
+    suites are a FIXED size regardless of corpus scale (the doc_id %
+    {MOD} stand-in overstates that; see curate_decontaminate's
+    caveat).  In a real deployment this set comes from an external
+    eval table and costs nothing against the corpus; here the
+    build-time pre-pass is one column-pruned scan where the grams UDF
+    runs only on the 1/{MOD} slice."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("text")
+        .withColumn("grams", _grams_udf(DECON_N)(F.col("text")))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    return spark.sparkContext.broadcast(
+        frozenset(r["gram"] for r in d.collect()))
+
+
+def _rep_decon_udf(ev_bc):
+    """One vectorized pandas pass computing BOTH the Gopher repetition
+    scores (word-REP_N-grams) and the eval-contamination probe (any
+    word-DECON_N-gram in the broadcast eval set) — the fused device
+    that lets curate_final keep a single documents scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    def rd(texts):
+        import re
+        from collections import Counter
+
+        tok_re = re.compile(_REP_TOKEN_RE)
+        ev = ev_bc.value
+        n_l, dup_l, top_l, hit_l = [], [], [], []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            grams = [" ".join(toks[i:i + REP_N])
+                     for i in range(len(toks) - REP_N + 1)]
+            n = len(grams)
+            if n == 0:
+                n_l.append(0); dup_l.append(0.0); top_l.append(0.0)
+            else:
+                c = Counter(grams)
+                n_l.append(n)
+                dup_l.append((n - len(c)) / n)
+                top_l.append(max(c.values()) / n)
+            hit_l.append(any(
+                " ".join(toks[i:i + DECON_N]) in ev
+                for i in range(len(toks) - DECON_N + 1)))
+        return pd.DataFrame({"n_grams": n_l, "dup_frac": dup_l,
+                             "top_frac": top_l, "hits_eval": hit_l})
+
+    return pandas_udf(
+        rd, "n_grams long, dup_frac double, top_frac double, "
+            "hits_eval boolean")
+
+
 @register(
     "curate_final",
     oracle=_final_sql(),
@@ -684,14 +775,25 @@ WHERE NOT EXISTS (SELECT 1 FROM decon d WHERE d.doc_id = c.doc_id)
     bench=True,
 )
 def curate_final(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curated = curate_training_set(spark, sf_dir).select("doc_id", "n_tokens")
-    rep = text_repetition(spark, sf_dir).filter(~F.col("repetitive")) \
-        .select("doc_id", "dup_gram_frac")
-    contaminated = curate_decontaminate(spark, sf_dir).select("doc_id")
+    """FUSED to ONE documents scan (VERDICT r4 task #3; was 3 corpus
+    scans): the rep fractions and the decontamination probe ride the
+    curation pipeline instead of re-scanning — the gates run first, so
+    the pandas pass touches only curated winners (post-window, off the
+    shuffle payload).  The eval-gram set is a build-time broadcast
+    (_eval_gram_set); eval-slice docs are exempt from the probe (they
+    trivially share grams with themselves), matching the oracle's
+    decon CTE which only flags train-side docs."""
+    ev_bc = _eval_gram_set(spark, sf_dir)
+    base = _curate_filtered(spark, sf_dir, keep_text=True)
+    rd = base.withColumn("__rd", _rep_decon_udf(ev_bc)(F.col("text")))
+    contaminated = ((F.col("doc_id") % DECON_EVAL_MOD != 0)
+                    & F.col("__rd.hits_eval"))
     return (
-        curated.join(rep, "doc_id")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
-        .select("doc_id", "n_tokens", "dup_gram_frac")
+        rd.filter((F.col("__rd.n_grams") > 0)
+                  & (F.col("__rd.dup_frac") <= REP_DUP_FLAG)
+                  & ~contaminated)
+        .select("doc_id", "n_tokens",
+                F.round("__rd.dup_frac", 6).alias("dup_gram_frac"))
     )
 
 

@@ -314,19 +314,26 @@ def stream_lsh_candidates(
     schema = spark.read.parquet(docs_dir).schema
 
     def emit(key, pdfs, state: GroupState):
+        # state stores a list (GroupState tuple contract); membership
+        # tests use a set so each arrival is O(1), not O(len(seen)) —
+        # ADVICE r4: 'd in seen' on the list was quadratic per hot
+        # band bucket.  Pair EMISSION is O(len(seen)) by definition
+        # (one candidate pair per prior occupant).
         seen: list = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
         out_a, out_b = [], []
         new_ids: list = []
         for pdf in pdfs:
             new_ids.extend(int(x) for x in pdf["doc_id"])
         for d in sorted(set(new_ids)):
-            if d in seen:
+            if d in seen_set:
                 continue
             for prior in seen:
                 lo, hi = (prior, d) if prior < d else (d, prior)
                 out_a.append(lo)
                 out_b.append(hi)
             seen.append(d)
+            seen_set.add(d)
         state.update((seen,))
         if out_a:
             yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
