@@ -82,6 +82,7 @@ ATTEST_FIRST: list[str] = [
     # (new round-5 queries are appended here as each one lands; the
     # test_attestation_slate_invariants test keeps the lists honest)
     "curate_final",
+    "viz_graph_layout",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from .constants import IOC_LIST_FIELDS
 from .intel import risk_label_expr, with_intel
+from .q_viz import _RISK_ORDER as GRAPH_RISK_ORDER
 
 # display titles for the per-type IOC registry sections
 # (report.py:470-489: the reference renders per-type tables; this render
@@ -45,6 +46,7 @@ class ReportAggregates:
     high_risk_topk: DataFrame      # O1/F8
     global_iocs: DataFrame         # D6/O7 — ALL 11 types, capped per type
     keyword_hits: DataFrame        # X20 rollup: hits + page count per category
+    graph_nodes: DataFrame         # S12 — 3-D graph figure input (q_viz)
 
 
 def build_aggregates(pages_with_intel: DataFrame, top_k: int = 50,
@@ -125,6 +127,12 @@ def build_aggregates(pages_with_intel: DataFrame, top_k: int = 50,
         .orderBy(F.desc("total_hits"), F.asc("category"))
     )
 
+    # figure input for the graph section: site hubs + page nodes with
+    # the deterministic square-ring layout (visualizer.py:204-282)
+    from .q_viz import graph_layout_nodes
+
+    graph_nodes = graph_layout_nodes(df)
+
     return ReportAggregates(
         risk_histogram=risk_histogram,
         summary_cards=summary_cards,
@@ -133,6 +141,7 @@ def build_aggregates(pages_with_intel: DataFrame, top_k: int = 50,
         high_risk_topk=high_risk_topk,
         global_iocs=global_iocs,
         keyword_hits=keyword_hits,
+        graph_nodes=graph_nodes,
     )
 
 
@@ -146,6 +155,12 @@ def render_html(aggs: ReportAggregates, out_path: str) -> str:
     topk = [r.asDict() for r in aggs.high_risk_topk.collect()]
     iocs = [r.asDict() for r in aggs.global_iocs.collect()]
     kw_hits = [r.asDict() for r in aggs.keyword_hits.collect()]
+    # graph section: hubs are |sites|-bounded; page rows stay distributed
+    # (only their count crosses to the driver)
+    hubs = sorted((r.asDict() for r in
+                   aggs.graph_nodes.filter("kind = 'site'").collect()),
+                  key=lambda r: r["node"])
+    n_page_nodes = aggs.graph_nodes.filter("kind = 'page'").count()
 
     total = max(sum(hist.values()), 1)
     parts = [
@@ -211,7 +226,23 @@ def render_html(aggs: ReportAggregates, out_path: str) -> str:
         parts.append(
             f"<tr><td>{esc(r['category'])}</td><td>{r['total_hits']}</td>"
             f"<td>{r['pages_with_hits']}</td></tr>")
-    parts.append("</table></body></html>")
+    # Network graph (visualizer.py figure input): hub table + page-node
+    # count; coordinates come from the deterministic square-ring layout
+    parts.append("</table><h2>Network graph</h2>"
+                 "<table><tr><th>site hub</th><th>worst risk</th>"
+                 "<th>IOCs</th><th>pages</th><th>x</th><th>y</th></tr>")
+    for h in hubs:
+        rank = h["risk_rank"]
+        label = GRAPH_RISK_ORDER[rank] if 0 <= rank < len(GRAPH_RISK_ORDER) \
+            else "unknown"
+        parts.append(
+            f"<tr><td>{esc(h['node'])}</td><td>{esc(label)}</td>"
+            f"<td>{h['ioc_total']}</td><td>{h['n_pages']}</td>"
+            f"<td>{h['x']:.4f}</td><td>{h['y']:.4f}</td></tr>")
+    parts.append(
+        f"</table><p>{n_page_nodes} page nodes positioned on radius-2 "
+        "rings around their site hubs.</p>")
+    parts.append("</body></html>")
     html_doc = "".join(parts)
     with open(out_path, "w") as f:
         f.write(html_doc)

@@ -84,3 +84,36 @@ def test_keyword_hits_rollup(spark, tmp_path):
         assert cat in kw, (cat, kw)
         hits, pages = kw[cat]
         assert hits >= 5 and pages == 5
+
+
+def test_report_graph_section_and_layout(spark, tmp_path):
+    """VERDICT r4 task #5: the HTML report carries the graph section
+    fed by the deterministic layout table, and the layout geometry
+    holds: hubs on the radius-10 square ring, pages on a radius-2
+    square ring around THEIR hub, coordinates a pure function of the
+    node id (re-run identical)."""
+    enriched = analyze_pages(_pages_df(spark))
+    aggs = build_aggregates(enriched)
+    html = open(render_html(aggs, str(tmp_path / "g.html"))).read()
+    assert "<h2>Network graph</h2>" in html
+    assert "page nodes positioned on radius-2 rings" in html
+
+    nodes = {r["node"]: r for r in aggs.graph_nodes.collect()}
+    hubs = {k: v for k, v in nodes.items() if v["kind"] == "site"}
+    pages = {k: v for k, v in nodes.items() if v["kind"] == "page"}
+    assert len(hubs) == 10 and len(pages) == 10
+    for h in hubs.values():
+        # square perimeter of radius 10: max(|x|,|y|) == 10
+        assert abs(max(abs(h["x"]), abs(h["y"])) - 10.0) < 1e-9
+        assert h["n_pages"] == 1
+    for r in enriched.select("url", "site").collect():
+        p, h = pages[r["url"]], hubs[r["site"]]
+        dx, dy = p["x"] - h["x"], p["y"] - h["y"]
+        assert abs(max(abs(dx), abs(dy)) - 2.0) < 1e-9  # radius-2 ring
+    # risk aggregation: hub rank is the max of its pages' ranks
+    for r in enriched.select("url", "site").collect():
+        assert hubs[r["site"]]["risk_rank"] >= pages[r["url"]]["risk_rank"]
+
+    again = {r["node"]: (r["x"], r["y"])
+             for r in build_aggregates(enriched).graph_nodes.collect()}
+    assert again == {k: (v["x"], v["y"]) for k, v in nodes.items()}
