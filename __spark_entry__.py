@@ -38,7 +38,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    """DuckDB-equivalent SQL for every SQL-expressible query.
+
+    Lazy oracles (registry.Query.oracle callables) resolve here: the
+    ANN recall oracles export their deterministic shortlist as a
+    VALUES CTE computed at registry.ORACLE_SF_DIR (= the driver's
+    sf0.01 comparison directory)."""
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle
+        name: q.oracle_sql() for name, q in all_queries().items()
+        if q.oracle
     }

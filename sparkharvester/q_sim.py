@@ -441,3 +441,88 @@ def sim_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=1 << 30,
         exclude_vec_id=int(pivot["vec_id"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall, driver-checkable (VERDICT r4 task #7): one row
+# (k, n_hits, recall) from the Spark-side join of the ANN result
+# against the brute-force exhaustive result.  The ANN shortlist cannot
+# be re-derived in SQL (float k-means / PQ codebooks), but it IS
+# deterministic, so the LAZY oracle exports it as a VALUES CTE
+# (computed by the same builder at registry.ORACLE_SF_DIR — the sf the
+# driver compares at) and DuckDB then independently recomputes the
+# exhaustive top-k and the intersection arithmetic.  A Spark-side bug
+# in either the ANN, the exhaustive scan, or the join shows up as a
+# recall/n_hits mismatch.
+# ---------------------------------------------------------------------------
+
+
+def _recall_frame(spark: SparkSession, ann: DataFrame,
+                  exact: DataFrame) -> DataFrame:
+    hits = exact.select("vec_id").join(
+        F.broadcast(ann.select("vec_id")), "vec_id")
+    return hits.agg(
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*") / float(TOP_K), 6).alias("recall"),
+    )
+
+
+def _recall_oracle(ann_builder):
+    """Lazy oracle: exhaustive top-k in SQL ∩ the exported ANN
+    shortlist → (k, n_hits, recall)."""
+    def make() -> str:
+        from . import registry
+        from .session import get_spark
+
+        spark = get_spark()
+        ann = ann_builder(spark, registry.ORACLE_SF_DIR)
+        ids = sorted(int(r["vec_id"])
+                     for r in ann.select("vec_id").collect())
+        vals = ", ".join(f"({i})" for i in ids) or "(NULL)"
+        return f"""
+WITH ann(vec_id) AS (VALUES {vals}),
+q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+),
+exact AS (
+  SELECT vec_id, round({_cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+  FROM embeddings, q
+  WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+  ORDER BY cos_sim DESC, vec_id ASC
+  LIMIT {TOP_K}
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / {float(TOP_K)}, 6) AS recall
+FROM exact JOIN ann USING (vec_id)
+"""
+    return make
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=_recall_oracle(lambda spark, sf: _ivf_query(
+        spark, sf, nprobe=IVF_NPROBE)),
+    doc=f"recall@{TOP_K} of the IVF ANN (nprobe={IVF_NPROBE}) vs the "
+        "brute-force top-k, as one driver-checkable row — the lazy "
+        "oracle exports the deterministic ANN shortlist as a VALUES "
+        "CTE and recomputes the exhaustive side + intersection in SQL",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = _ivf_query(spark, sf_dir, nprobe=IVF_NPROBE)
+    exact = sim_cosine_topk(spark, sf_dir)
+    return _recall_frame(spark, ann, exact)
+
+
+@register(
+    "sim_pq_recall",
+    oracle=_recall_oracle(lambda spark, sf: sim_pq_refine(spark, sf)),
+    doc=f"recall@{TOP_K} of the PQ ADC+re-rank ANN vs the brute-force "
+        "top-k, as one driver-checkable row (same exported-shortlist "
+        "lazy-oracle device as sim_ivf_recall)",
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = sim_pq_refine(spark, sf_dir)
+    exact = sim_cosine_topk(spark, sf_dir)
+    return _recall_frame(spark, ann, exact)

@@ -13,13 +13,27 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+# sf_dir the driver's correctness gate compares at; LAZY oracles (see
+# Query.oracle) that must export data-dependent literals (the ANN
+# recall shortlists) compute them against this directory.
+# tools/compare.py points it at its own sf argument.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 @dataclass
 class Query:
     name: str
     build: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str] = None
+    # str = static SQL; 0-arg callable = LAZY oracle, resolved when the
+    # driver/compare asks for the SQL (for oracles that embed an
+    # exported deterministic artifact, e.g. the ANN recall shortlist —
+    # VERDICT r4 task #7); None = rows-only check.
+    oracle: Optional[object] = None
     doc: str = ""
     bench: bool = False           # include in bench.py headline set
+
+    def oracle_sql(self) -> Optional[str]:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 REGISTRY: dict[str, Query] = {}
@@ -83,6 +97,8 @@ ATTEST_FIRST: list[str] = [
     # test_attestation_slate_invariants test keeps the lists honest)
     "curate_final",
     "viz_graph_layout",
+    "sim_ivf_recall",
+    "sim_pq_recall",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back

@@ -62,9 +62,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:]
     sys.path.insert(0, ".")
+    from sparkharvester import registry
     from sparkharvester.registry import all_queries
     from sparkharvester.session import get_spark
 
+    # lazy oracles (ANN recall) export their shortlist at the SAME sf
+    # this comparison runs at
+    registry.ORACLE_SF_DIR = sf_dir
     qs = all_queries()
     if not names:
         names = [n for n, q in qs.items() if q.oracle]
@@ -77,7 +81,7 @@ def main() -> None:
             print(f"{n}: (no oracle, rows={q.build(spark, sf_dir).count()})")
             continue
         try:
-            ok, msg = compare(q.build(spark, sf_dir), q.oracle, con)
+            ok, msg = compare(q.build(spark, sf_dir), q.oracle_sql(), con)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
         print(f"{n}: {'PASS' if ok else 'FAIL'} {msg}")
