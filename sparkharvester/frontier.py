@@ -55,6 +55,7 @@ from .constants import (
     DEFAULT_MAX_PAGES,
 )
 from .oracle import is_valid_onion_py
+from .robots import attach_robots_blocked, normalize_rules
 from .seen import (
     anti_join_with_probe,
     bloom_probe_udf,
@@ -89,12 +90,19 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     host_tokens_per_round: int | None = None   # None = politeness parity mode
     max_retries: int = 0   # >0: failed fetches re-enqueue with not_before
-    robots: dict[str, list[str]] | None = None  # host -> disallow path prefixes
+    # host -> robots rules: each entry is a str (legacy Disallow
+    # prefix) or an (pattern, allow) tuple with RFC 9309 '*'/'$'
+    # pattern syntax (robots.py)
+    robots: dict[str, list] | None = None
     salt_buckets: int = 8
     run_id: str = "run-1"
     checkpoint_dir: str | None = None
     stop_after_round: int | None = None   # I6 analog: simulate interruption
     auto_robots: bool = False   # fetch-once-per-host robots cache table
+    # auto_robots rule source: False = legacy Disallow-prefix synth
+    # (bit-stable with earlier rounds), True = RFC 9309 mixed
+    # Allow/Disallow wildcard rule sets (synth.robots_rules_for_host)
+    rfc_robots: bool = False
     # 10^10-scale option: per-seed cap/pop windows via range-partitioned
     # prefix sums (seq.attach_grouped_prefix) instead of one window task
     # per seed — identical results (pytest-asserted); default off because
@@ -124,24 +132,34 @@ METRICS_SCHEMA = (
     "run_id string, round int, depth int, partition_id int, pages_crawled long, "
     "pages_failed long, pages_skipped long, pages_deduplicated long"
 )
-# one row per (host, disallow prefix); a host with an empty robots.txt
-# gets a single NULL-prefix row so the cache still records the fetch
-ROBOTS_SCHEMA = "host string, dis_prefix string"
+# one row per (host, rule); a host with an empty robots.txt gets a
+# single NULL-pattern row so the cache still records the fetch.
+# allow=False rows are Disallow rules (the legacy prefix sets map to
+# these); allow=True rows are RFC 9309 Allow carve-outs.
+ROBOTS_SCHEMA = "host string, pattern string, allow boolean"
 
 
-def _make_robots_fetch(seed: int):
-    """mapInPandas robots 'fetch' (deterministic synth) for uncached hosts."""
+def _make_robots_fetch(seed: int, rfc: bool = False):
+    """mapInPandas robots 'fetch' (deterministic synth) for uncached
+    hosts.  ``rfc=True`` fetches mixed Allow/Disallow wildcard rule
+    sets (synth.robots_rules_for_host); default stays the legacy
+    Disallow-prefix generator so existing runs are bit-stable."""
     import pandas as pd
 
-    from .synth import robots_for_host
+    from .synth import robots_for_host, robots_rules_for_host
 
     def fetch(batches):
         for pdf in batches:
             rows = []
             for host in pdf["host"]:
-                prefixes = robots_for_host(host, seed) or [None]
-                rows.extend((host, p) for p in prefixes)
-            yield pd.DataFrame(rows, columns=["host", "dis_prefix"])
+                if rfc:
+                    rules = robots_rules_for_host(host, seed)
+                else:
+                    rules = [(p, False) for p in robots_for_host(host, seed)]
+                rows.extend((host, p, a) for p, a in rules)
+                if not rules:
+                    rows.append((host, None, None))
+            yield pd.DataFrame(rows, columns=["host", "pattern", "allow"])
 
     return fetch
 
@@ -389,34 +407,32 @@ def run_crawl(
             new_hosts = cand.select("host").distinct().join(
                 cached.select("host").distinct(), "host", "left_anti")
             fetched_robots = new_hosts.mapInPandas(
-                _make_robots_fetch(synth_cfg.seed), ROBOTS_SCHEMA)
+                _make_robots_fetch(synth_cfg.seed, cfg.rfc_robots),
+                ROBOTS_SCHEMA)
             store.write_delta(fetched_robots, "robots", round_no)
             robots_table = store.read_deltas(spark, "robots", ROBOTS_SCHEMA,
                                              round_no)
         elif robots:
             robots_table = spark.createDataFrame(
-                [(h, p) for h, ps in robots.items() for p in ps],
+                [(h, p, a)
+                 for h, rs in robots.items()
+                 for p, a in normalize_rules(rs)],
                 ROBOTS_SCHEMA,
             )
         else:
             robots_table = None
 
         if robots_table is not None:
-            # url_path excludes query+fragment, keeping the robots prefix
-            # check consistent with is_blacklisted (ADVICE r1)
-            path_col = url_path(F.col("canon_url"))
-            hit = (
-                cand.withColumn("__path", path_col)
-                .join(F.broadcast(robots_table), "host", "left")
-                .withColumn(
-                    "__robots_block",
-                    F.col("dis_prefix").isNotNull()
-                    & F.col("__path").startswith(F.col("dis_prefix")),
-                )
-                .groupBy("seed_id", "canon_url", "depth", "retry_no", "host")
-                .agg(F.max("__robots_block").alias("robots_blocked"))
+            # url_path excludes query+fragment, keeping the robots
+            # match consistent with is_blacklisted (ADVICE r1).
+            # RFC 9309 longest-match Allow/Disallow precedence with
+            # '*'/'$' patterns (robots.py; VERDICT r4 task #6) — for
+            # Disallow-only rule sets this reduces to the old
+            # any-match semantics bit-for-bit.
+            cand = attach_robots_blocked(
+                cand, robots_table, url_path(F.col("canon_url")),
+                ["seed_id", "canon_url", "depth", "retry_no", "host"],
             )
-            cand = hit
         else:
             cand = cand.withColumn("robots_blocked", F.lit(False))
 

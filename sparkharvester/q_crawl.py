@@ -887,3 +887,129 @@ def crawl_three_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 robots precedence (VERDICT r4 task #6): the frontier gate's
+# longest-match Allow/Disallow decision with '*' wildcards and '$'
+# anchors, as a driver-checkable query.  Unlike crawl_robots_gate
+# (any-match over Disallow prefixes), the rule slate here is generated
+# by ONE Python loop (_rbp_rules) and embedded verbatim into BOTH
+# dialects — a VALUES CTE in the DuckDB oracle and a createDataFrame on
+# the Spark side — so the two rule sets cannot drift; both engines then
+# regexp-match per (candidate, rule) and reduce the winner with the
+# shared score arithmetic 2*len(pattern)+allow (robots.py:rule_score —
+# max picks longest-then-Allow, blocked iff the max is even).
+#
+# Scale shape: rules are |hosts·rules|-sized (broadcast); the candidate
+# side streams through one broadcast join + one partial-aggregated
+# groupBy on its own key — identical to the frontier's runtime gate
+# (frontier.py attach_robots_blocked call).
+# ---------------------------------------------------------------------------
+
+_RBP_HOSTS = 37
+
+
+def _rbp_host(i: int) -> str:
+    import hashlib
+    return hashlib.md5(f"rbp/{i}".encode()).hexdigest()[:16] + ".onion"
+
+
+def _rbp_rules(i: int) -> list[tuple[str, bool]]:
+    """Deterministic per-host rule slate covering every precedence
+    branch: plain Disallow, longer Allow carve-out, wildcard Disallow,
+    '$'-anchored Disallow, wildcard+anchor, equal-length tie."""
+    from .synth import _h
+    h = _h(f"rbprules/{i}")
+    if h % 3 == 2:
+        return []                      # ~1/3 of hosts: empty robots
+    a = h % 23
+    rules: list[tuple[str, bool]] = [(f"/p{a}", False)]
+    if h % 2 == 0:
+        rules.append((f"/p{a}/sub", True))        # longer Allow wins
+    if h % 5 == 0:
+        rules.append(("/p*.html", False))         # wildcard Disallow
+    if h % 7 == 0:
+        rules.append((f"/p{h % 10}$", False))     # exact bare path
+    if h % 11 == 0:
+        rules.append((f"/p{(h // 13) % 23}x7$", False))
+    if h % 13 == 0:
+        rules.append((f"/p{a}", True))            # tie -> Allow wins
+    return rules
+
+
+def _rbp_slate() -> list[tuple[str, str, str, int]]:
+    from .robots import rule_regex
+    return [
+        (_rbp_host(i), pattern, rule_regex(pattern), int(allow))
+        for i in range(_RBP_HOSTS)
+        for pattern, allow in _rbp_rules(i)
+    ]
+
+
+def _rbp_sql() -> str:
+    values = ",\n    ".join(
+        f"('{h}', '{p}', '{rx}', {a})" for h, p, rx, a in _rbp_slate()
+    )
+    return f"""
+WITH cand AS (
+  SELECT doc_id,
+         substr(md5('rbp/' || CAST(doc_id % {_RBP_HOSTS} AS VARCHAR)), 1, 16)
+           || '.onion' AS host,
+         '/p' || CAST(doc_id % 23 AS VARCHAR) ||
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 1 THEN '.html' WHEN 2 THEN '/sub' WHEN 3 THEN 'x7'
+                ELSE '' END AS path
+  FROM documents
+),
+rules(host, pattern, regex, allow) AS (VALUES
+    {values}
+),
+m AS (
+  SELECT c.doc_id, c.host, c.path,
+         max(CASE WHEN r.pattern IS NOT NULL
+                   AND regexp_matches(c.path, r.regex)
+                  THEN 2 * length(r.pattern) + r.allow END) AS s
+  FROM cand c LEFT JOIN rules r ON c.host = r.host
+  GROUP BY c.doc_id, c.host, c.path
+)
+SELECT doc_id, host, path, coalesce(s % 2 = 0, FALSE) AS robots_blocked
+FROM m
+"""
+
+
+@register(
+    "crawl_robots_precedence",
+    oracle=_rbp_sql,
+    doc="RFC 9309 robots gate: longest-match Allow/Disallow precedence "
+        "with '*' wildcards and '$' anchors (robots.py; frontier gate "
+        "semantics).  Python-generated rule slate shared verbatim by "
+        "both dialects; winner reduced via the 2*len+allow score.",
+)
+def crawl_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .robots import attach_robots_blocked
+
+    cand = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(
+                F.md5(F.concat(F.lit("rbp/"),
+                               (F.col("doc_id") % _RBP_HOSTS).cast("string"))),
+                1, 16),
+            F.lit(".onion"),
+        ).alias("host"),
+        F.concat(
+            F.lit("/p"), (F.col("doc_id") % 23).cast("string"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(".html"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/sub"))
+            .when(F.col("doc_id") % 4 == 3, F.lit("x7"))
+            .otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [(h, p, bool(a)) for h, p, _rx, a in _rbp_slate()],
+        "host string, pattern string, allow boolean",
+    )
+    return attach_robots_blocked(
+        cand, rules, F.col("path"), ["doc_id", "host", "path"]
+    )

@@ -789,6 +789,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("new_doc"), "band_id", "band_hash")
     corpus_bands = bands.filter(~is_batch).select(
         F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash")
+    # ADVICE r4: the mod-N stand-in makes the "new batch" grow linearly
+    # with the corpus, which would overrun the broadcast limit at real
+    # scale — a production ingest batch is bounded by the ingest
+    # cadence, not corpus size, so the hint models THAT asymmetry.  If
+    # a batch can exceed ~100 MB of band rows, drop the hint and let
+    # AQE pick the join side from runtime stats.
     cand = (
         corpus_bands.join(F.broadcast(new_bands), ["band_id", "band_hash"])
         .select("new_doc", "corpus_doc")

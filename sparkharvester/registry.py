@@ -99,6 +99,8 @@ ATTEST_FIRST: list[str] = [
     "viz_graph_layout",
     "sim_ivf_recall",
     "sim_pq_recall",
+    "crawl_robots_precedence",
+    "crawl_robots_gate",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back

@@ -369,3 +369,91 @@ def stream_lsh_candidates(
     )
     q.collected = collected
     return q
+
+
+def stream_crawl_rounds(
+    spark: SparkSession,
+    ticks_dir: str,
+    checkpoint: str,
+    snap_root: str,
+    seeds: list,
+    synth_cfg,
+    cfg,
+):
+    """Streamed crawl-round driver (VERDICT r4 task #8): each arriving
+    micro-batch advances the snapshotted BFS crawl by ONE round via
+    ``run_crawl(stop_after_round=...)`` against a shared
+    ``SnapshotStore`` — the streaming composition of the engine's
+    interrupt/resume contract (I6).  Killing the stream between
+    batches and restarting from the same checkpoint resumes the crawl
+    bit-exactly: rounds already committed are never re-run.
+
+    Exactly-once: foreachBatch may replay the last uncommitted batch
+    after a crash, so the handler write-ahead-logs its intent
+    (``batch_id -> round``) to ``<snap_root>/stream_epochs.json``
+    BEFORE advancing.  On replay, a batch whose round is already
+    committed in the crawl manifest is skipped; a batch that logged
+    intent but died before the crawl committed re-applies the SAME
+    round (run_crawl's snapshot commit is itself atomic per round).
+    Ticks beyond frontier exhaustion are no-ops.
+    """
+    import dataclasses
+    import json
+    import os
+
+    from .frontier import run_crawl
+    from .storage import SnapshotStore
+
+    epochs_path = os.path.join(snap_root, "stream_epochs.json")
+
+    def _load_epochs() -> dict:
+        if os.path.exists(epochs_path):
+            with open(epochs_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_epochs(d: dict) -> None:
+        tmp = epochs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, epochs_path)
+
+    def advance(df: DataFrame, batch_id: int) -> None:
+        store = SnapshotStore(snap_root)
+        manifest = store.load_manifest()
+        epochs = _load_epochs()
+        key = str(batch_id)
+        if key in epochs:
+            r = epochs[key]
+            if manifest is not None and manifest["round"] >= r:
+                return          # replayed batch, round already committed
+        else:
+            r = 0 if manifest is None else manifest["round"] + 1
+            epochs[key] = r
+            _save_epochs(epochs)
+        if manifest is None:
+            run_crawl(
+                spark, seeds, synth_cfg,
+                dataclasses.replace(cfg, stop_after_round=0,
+                                    checkpoint_dir=snap_root),
+            )
+        else:
+            run_crawl(
+                spark, seeds, synth_cfg,
+                dataclasses.replace(cfg, stop_after_round=r,
+                                    checkpoint_dir=None),
+                resume_from=snap_root,
+            )
+
+    stream = (
+        spark.readStream.schema("tick long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ticks_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(advance)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q

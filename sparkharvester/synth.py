@@ -203,6 +203,33 @@ def robots_for_host(host: str, seed: int = 42) -> list[str]:
     return []
 
 
+def robots_rules_for_host(host: str, seed: int = 42) -> list[tuple[str, bool]]:
+    """Deterministic RFC 9309 rule set per host: mixed Allow/Disallow
+    with '*' wildcards and '$' anchors (robots.py semantics).  ~2/3 of
+    hosts carry rules; among those the slate exercises every
+    precedence branch — a longer Allow overriding a shorter Disallow,
+    a wildcard Disallow, an exact-match ('$') Disallow, and an
+    equal-length Allow/Disallow tie (Allow wins)."""
+    h = _h(f"robots9309/{seed}/{host}")
+    if h % 3 == 2:
+        return []
+    a = h % 7
+    rules: list[tuple[str, bool]] = [(f"/p{a}", False)]
+    if h % 2 == 0:
+        # longer Allow carve-out: /p{a}{d} is allowed although the
+        # shorter Disallow /p{a} prefix-matches it
+        rules.append((f"/p{a}{h % 10}", True))
+    if h % 5 == 0:
+        rules.append((f"/p*{(h // 7) % 10}", False))   # wildcard disallow
+    if h % 7 == 0:
+        rules.append((f"/p{(h // 11) % 10}$", False))  # exact-path disallow
+    if h % 11 == 0:
+        b = (h // 13) % 7
+        rules.append((f"/p{b}", True))                 # tie vs same-length
+        rules.append((f"/p{b}", False))                # Disallow -> Allow wins
+    return rules
+
+
 def seed_urls(cfg: SynthConfig, n_seeds: int | None = None) -> list[str]:
     """First page of each host, in host order (the reference's seed list)."""
     n = n_seeds if n_seeds is not None else cfg.n_hosts

@@ -356,12 +356,14 @@ def test_auto_robots_cache(spark):
     cache = store.read_deltas(spark, "robots", ROBOTS_SCHEMA, eng.rounds - 1)
     rows = cache.collect()
     hosts = [r["host"] for r in rows]
-    # fetch-once: every (host, prefix) recorded exactly once
-    assert len(set((r["host"], r["dis_prefix"]) for r in rows)) == len(rows)
-    # cache content matches the synthetic robots
+    # fetch-once: every (host, rule) recorded exactly once
+    assert len(set((r["host"], r["pattern"]) for r in rows)) == len(rows)
+    # cache content matches the synthetic robots (legacy generator:
+    # Disallow-only rules; empty robots -> one NULL sentinel row)
     for r in rows:
         expected = robots_for_host(r["host"], synth.seed) or [None]
-        assert r["dis_prefix"] in expected
+        assert r["pattern"] in expected
+        assert r["allow"] in (False, None)
     # no crawled page violates its host's disallow list
     for p in eng.pages.collect():
         host = p["url"].split("://")[1].split("/")[0]
