@@ -858,3 +858,149 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[1], 4).alias("p90_tokens"),
         F.round(pct[2], 4).alias("p99_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix domain weights with an EXACT cap threshold (beyond-
+# reference §2.13: the "mixing weights" step of a large-scale training
+# pipeline — cap any one domain at MIX_CAP of the post-cap mixture and
+# redistribute its excess proportionally over the uncapped domains).
+#
+# The naive fix-point (cap → renormalize → re-cap …) is iterative; the
+# closed form is water-filling: weights w_i = min(tok_i, λ) / Z with
+# Z = Σ min(tok_j, λ), where λ is set so the largest weight equals
+# exactly MIX_CAP.  Sorting domains by tok desc with prefix sums, for
+# a candidate count k of capped domains
+#     λ(k) = MIX_CAP·R_k / (1 − MIX_CAP·k),  R_k = Σ_{j>k} tok_j,
+# and the true k* is the LARGEST k with tok_k·(1−MIX_CAP·k) >
+# MIX_CAP·R_k (the condition is monotone in k).  Everything reduces to
+# ONE ordered window over the |domains| rollup plus a 1-row
+# cross-join — the corpus-sized work is a single partial-aggregated
+# groupBy scan; the window runs over domains, which are ≪ corpus at
+# any scale (the 'single partition' window is |domains| rows, not
+# data).  Token mass uses exact BIGINT n_chars sums; λ/weights are
+# IEEE doubles computed with the same expression order in both
+# dialects.
+#
+# The synthetic domain key d<floor(sqrt(doc_id % 100))> is SKEWED
+# (d9 owns 19% of each 100 docs) so the cap genuinely binds; `source`
+# itself is uniform at 5% and would never touch the threshold.
+# ---------------------------------------------------------------------------
+
+MIX_CAP = 0.15         # max post-cap share of any one domain
+
+
+_MIX_SQL = f"""
+WITH tok AS (
+  SELECT 'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS INT)
+                 AS VARCHAR) AS domain,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS tok
+  FROM documents GROUP BY 1
+),
+o AS (
+  SELECT domain, n_docs, tok,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(tok) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+         CAST(sum(tok) OVER () AS BIGINT) AS total
+  FROM tok
+  WINDOW w AS (ORDER BY tok DESC, domain)
+),
+l AS (
+  SELECT *,
+         CAST(total - pref AS DOUBLE) AS rest,
+         CASE WHEN CAST(tok AS DOUBLE) * (1 - {MIX_CAP} * k)
+                   > {MIX_CAP} * CAST(total - pref AS DOUBLE)
+              THEN 1 ELSE 0 END AS capped
+  FROM o
+),
+pick AS (
+  SELECT max(CASE WHEN capped = 1 THEN k END) AS kstar FROM l
+),
+lam AS (
+  SELECT l.k AS kstar, {MIX_CAP} * l.rest / (1 - {MIX_CAP} * l.k) AS lam,
+         CAST(l.k AS DOUBLE) * ({MIX_CAP} * l.rest / (1 - {MIX_CAP} * l.k))
+           + l.rest AS z
+  FROM l JOIN pick ON l.k = pick.kstar
+)
+SELECT l.domain, l.n_docs, l.tok,
+       CAST(l.tok AS DOUBLE) / l.total AS raw_share,
+       CASE WHEN lam.kstar IS NULL THEN CAST(l.tok AS DOUBLE) / l.total
+            WHEN CAST(l.tok AS DOUBLE) > lam.lam THEN lam.lam / lam.z
+            ELSE CAST(l.tok AS DOUBLE) / lam.z END AS mix_weight,
+       CAST(l.capped AS BOOLEAN) AS capped
+FROM l LEFT JOIN lam ON TRUE
+"""
+
+
+@register(
+    "curate_domain_mix",
+    oracle=_MIX_SQL,
+    doc=f"training-mix domain weights: cap any domain at {MIX_CAP} of "
+        "the mixture via exact water-filling (closed-form λ over one "
+        "domain-rollup window; no fix-point iteration); skewed synth "
+        "domain key so the cap binds",
+    bench=False,
+)
+def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.groupBy(
+            F.concat(
+                F.lit("d"),
+                F.floor(F.sqrt((F.col("doc_id") % 100).cast("double")))
+                .cast("int").cast("string"),
+            ).alias("domain")
+        )
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("tok"))
+    )
+    w = Window.orderBy(F.col("tok").desc(), F.col("domain"))
+    o = tok.select(
+        "domain", "n_docs", "tok",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("pref"),
+        F.sum("tok").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("total"),
+    )
+    l = o.withColumn("rest", (F.col("total") - F.col("pref")).cast("double")) \
+         .withColumn(
+            "capped",
+            F.when(
+                F.col("tok").cast("double") * (1 - F.lit(MIX_CAP) * F.col("k"))
+                > F.lit(MIX_CAP) * F.col("rest"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+         )
+    lam = (
+        l.agg(F.max(F.when(F.col("capped") == 1, F.col("k"))).alias("kstar"))
+        .join(l.select(F.col("k").alias("kstar"), "rest"), "kstar", "left")
+        .select(
+            "kstar",
+            (F.lit(MIX_CAP) * F.col("rest")
+             / (1 - F.lit(MIX_CAP) * F.col("kstar"))).alias("lam"),
+            (F.col("kstar").cast("double")
+             * (F.lit(MIX_CAP) * F.col("rest")
+                / (1 - F.lit(MIX_CAP) * F.col("kstar")))
+             + F.col("rest")).alias("z"),
+        )
+    )
+    return (
+        l.join(F.broadcast(lam), F.lit(True), "left")
+        .select(
+            "domain", "n_docs", "tok",
+            (F.col("tok").cast("double") / F.col("total")).alias("raw_share"),
+            F.when(F.col("kstar").isNull(),
+                   F.col("tok").cast("double") / F.col("total"))
+            .when(F.col("tok").cast("double") > F.col("lam"),
+                  F.col("lam") / F.col("z"))
+            .otherwise(F.col("tok").cast("double") / F.col("z"))
+            .alias("mix_weight"),
+            F.col("capped").cast("boolean").alias("capped"),
+        )
+    )

@@ -101,6 +101,7 @@ ATTEST_FIRST: list[str] = [
     "sim_pq_recall",
     "crawl_robots_precedence",
     "crawl_robots_gate",
+    "curate_domain_mix",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -123,6 +124,7 @@ ATTEST_PARKED: list[str] = [
     "events_hourly",
     "f_url_filters",
     "curate_sample",
+    "x_ioc_extract",
 ]
 
 

@@ -76,3 +76,27 @@ def test_sample_rates_and_determinism(spark, sf_dir):
     # deterministic: a second build yields the identical sample
     again = {(r.doc_id, r.u) for r in curate_sample(spark, sf_dir).collect()}
     assert again == {(r.doc_id, r.u) for r in kept}
+
+
+def test_domain_mix_waterfill_invariants(spark, sf_dir):
+    """curate_domain_mix: weights form a distribution, no weight
+    exceeds MIX_CAP, capped domains sit exactly AT the cap, uncapped
+    domains keep their relative proportions (scaled by one factor)."""
+    from sparkharvester.q_text import MIX_CAP, curate_domain_mix
+
+    rows = curate_domain_mix(spark, sf_dir).collect()
+    assert len(rows) == 10
+    total_w = sum(r["mix_weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-9
+    assert max(r["mix_weight"] for r in rows) <= MIX_CAP + 1e-12
+    capped = [r for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    assert capped, "skewed synth key must make the cap bind"
+    for r in capped:
+        assert abs(r["mix_weight"] - MIX_CAP) < 1e-12
+    # one common scale factor for every uncapped domain
+    factors = {round(r["mix_weight"] / r["raw_share"], 9) for r in uncapped}
+    assert len(factors) == 1
+    # capped domains are exactly the raw-share leaders
+    min_capped_raw = min(r["raw_share"] for r in capped)
+    assert all(r["raw_share"] <= min_capped_raw for r in uncapped)
