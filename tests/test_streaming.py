@@ -284,3 +284,52 @@ def test_stream_crawl_rounds_restart_bitexact(spark, tmp_path):
     got = sorted(tuple(r) for r in final.pages.collect())
     assert got == expected
     assert final.stats == plain.stats
+
+
+def test_stream_crawl_rounds_restart_with_politeness_and_robots(spark,
+                                                                tmp_path):
+    """The streamed round driver composed with the per-host politeness
+    budget AND an RFC 9309 robots rule set (Allow overriding a shorter
+    Disallow): kill after two rounds, restart, final pages must be
+    bit-identical to the uninterrupted politeness crawl."""
+    import time as _t
+
+    import pandas as pd
+
+    from sparkharvester.frontier import CrawlConfig, run_crawl
+    from sparkharvester.streaming import stream_crawl_rounds
+    from sparkharvester.synth import SynthConfig, host_name, seed_urls
+
+    synth = SynthConfig(n_hosts=3, pages_per_host=12)
+    seeds = seed_urls(synth)
+    host = host_name(0, synth.seed) + ".onion"
+    cfg = CrawlConfig(max_depth=2, max_pages=40, host_tokens_per_round=2,
+                      robots={host: [("/p1", False), ("/p10", True)]})
+
+    plain = run_crawl(spark, seeds, synth, cfg)
+    expected = sorted(tuple(r) for r in plain.pages.collect())
+    n_rounds = plain.rounds
+    # the robots rules must have had an effect for the composition to bite
+    paths = {u.split(".onion", 1)[1] for u in
+             {r["url"] for r in plain.pages.collect()}
+             if u.startswith(f"http://{host}")}
+    assert "/p1" not in paths
+
+    ticks = tmp_path / "ticks"
+    ticks.mkdir()
+    ck = str(tmp_path / "ck")
+    snap = str(tmp_path / "snap")
+    for i in range(2):
+        pd.DataFrame({"tick": [i]}).to_parquet(ticks / f"t{i}.parquet")
+        _t.sleep(0.05)
+    q1 = stream_crawl_rounds(spark, str(ticks), ck, snap, seeds, synth, cfg)
+    q1.awaitTermination(600)
+    for i in range(2, 2 + n_rounds):
+        pd.DataFrame({"tick": [i]}).to_parquet(ticks / f"t{i}.parquet")
+    q2 = stream_crawl_rounds(spark, str(ticks), ck, snap, seeds, synth, cfg)
+    q2.awaitTermination(600)
+
+    final = run_crawl(spark, seeds, synth, cfg, resume_from=snap)
+    got = sorted(tuple(r) for r in final.pages.collect())
+    assert got == expected
+    assert final.stats == plain.stats
