@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-only", action="store_true",
                    help="skip the crawl; run --sql against an existing "
                         "--out directory")
+    p.add_argument("--stop-file", default=None,
+                   help="cooperative stop request (GUI _on_stop analog): "
+                        "touch this path and the crawl exits after the "
+                        "current round's snapshot commit; partial results "
+                        "are saved/reported and resumable via --resume")
+    p.add_argument("--live-stats", default=None, metavar="SNAPSHOT_ROOT",
+                   help="print the last committed round's counters for a "
+                        "running/finished crawl (GUI _poll_stats analog; "
+                        "Spark-free, reads the atomic manifest) and exit")
     return p
 
 
@@ -73,6 +82,20 @@ def _register_results(spark, out_dir: str) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.live_stats:
+        # Spark-free monitoring sidecar (gui.py:933-940 _poll_stats):
+        # reads the atomically-committed manifest + metrics deltas only
+        import json as _json
+
+        from .storage import read_live_stats
+
+        stats = read_live_stats(args.live_stats)
+        if stats is None:
+            print("no committed snapshot at", args.live_stats)
+            return 1
+        print(_json.dumps(stats, sort_keys=True))
+        return 0
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = settings.crawler
     out_dir = settings.storage.output_dir
     cfg.checkpoint_dir = os.path.join(out_dir, "snapshots")
+    if args.stop_file:
+        cfg.stop_file = args.stop_file
     seeds = settings.seed_urls or seed_urls(synth)
 
     if args.query_only:

@@ -98,6 +98,13 @@ class CrawlConfig:
     run_id: str = "run-1"
     checkpoint_dir: str | None = None
     stop_after_round: int | None = None   # I6 analog: simulate interruption
+    # Cooperative stop request (reference gui.py:928-931 _on_stop /
+    # :1004 stop_event.is_set): a path polled BETWEEN rounds — the
+    # distributed analog of "finish the current page, then save".  When
+    # the file exists after a round's snapshot commit the crawl exits
+    # with that round's partial-but-committed state; the run is
+    # resumable from the same checkpoint_dir (exact-resume contract).
+    stop_file: str | None = None
     auto_robots: bool = False   # fetch-once-per-host robots cache table
     # auto_robots rule source: False = legacy Disallow-prefix synth
     # (bit-stable with earlier rounds), True = RFC 9309 mixed
@@ -682,6 +689,11 @@ def run_crawl(
         round_no += 1
         if cfg.stop_after_round is not None and round_no > cfg.stop_after_round:
             break   # interruption: partial state is committed (cli.py:292-295)
+        if cfg.stop_file is not None and os.path.exists(cfg.stop_file):
+            # user stop request (gui.py _on_stop analog): the round that
+            # just committed is the "current page" being finished; exit
+            # with resumable partial state and let the caller save/report
+            break
 
     # the hard round cap must never silently truncate a politeness crawl:
     # deferred rows still in the frontier at exit mean lost coverage

@@ -818,3 +818,154 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select("new_doc", "corpus_doc", F.round("jac", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup via content-defined chunking (boilerplate removal)
+#
+# Lee et al.-style passage dedup for training corpora: drop REPEATED
+# PASSAGES (boilerplate footers, templated blocks) while keeping each
+# passage's single global first occurrence, then reassemble every doc.
+# Fixed-position windows break on shifted text, so chunk boundaries are
+# CONTENT-DEFINED (CDC, the rolling-hash device of dedup storage
+# systems): a token opens a new chunk iff md5(token) % CDC_K == 0, so
+# an identical token run yields identical chunks at ANY offset in any
+# document — footers self-align without padding.
+#
+# The synthetic corpus is collision-free word salad, so a deterministic
+# dual-dialect footer (two variants by doc_id parity) is appended to
+# every doc — the classic boilerplate the op exists to strip.  Interior
+# footer chunks dedup across the whole corpus; the junction chunk
+# (doc tail + footer head) stays unique per doc, exactly as CDC
+# predicts.
+#
+# Scale shape: explode(tokens) is linear in corpus tokens; chunk_no is
+# a per-doc running sum (per-doc partitions, uniform); the global
+# first-occurrence agg is a hash-groupBy on chunk text with map-side
+# partial aggregation (hot boilerplate chunks combine before the
+# shuffle); the join back re-shuffles on the same key (AQE skew-join
+# splits a pathologically hot chunk's probe partitions); reassembly is
+# a groupBy(doc_id).  No window ever sees more than one doc's tokens.
+# ---------------------------------------------------------------------------
+
+CDC_K = 4                  # expected chunk length in tokens
+CDC_FOOTERS = (
+    "subscribe to the hidden wiki newsletter for weekly onion market "
+    "updates today",
+    "all rights reserved contact the site admin for takedown requests "
+    "and mirrors",
+)
+
+
+def _cdc_sql() -> str:
+    f0, f1 = CDC_FOOTERS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' ' || CASE WHEN doc_id % 2 = 0 THEN '{f0}'
+                             ELSE '{f1}' END AS txt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, toks[g.pos + 1] AS tok
+  FROM (SELECT doc_id, string_split(txt, ' ') AS toks FROM base) t,
+       unnest(generate_series(0, len(toks) - 1)) AS g(pos)
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN pos > 0 AND
+                  CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+                    % {CDC_K} = 0
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS chunk_no
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, chunk_no, min(pos) AS cpos,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM chunked GROUP BY doc_id, chunk_no
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, cpos) AS rk
+  FROM chunks
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(chunk, ' ' ORDER BY cpos)
+             FILTER (WHERE rk = 1), '') AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_cdc_passages",
+    oracle=_cdc_sql(),
+    doc="passage-level dedup via content-defined chunking: md5-gated "
+        "chunk boundaries self-align repeated boilerplate at any "
+        "offset; each chunk's global first occurrence survives and "
+        "docs are reassembled in order (Lee et al. passage dedup, "
+        "deterministic footer injection)",
+)
+def dedup_cdc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    f0, f1 = CDC_FOOTERS
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(f0)).otherwise(F.lit(f1)),
+        ).alias("txt"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("txt"), " ")).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    boundary = (
+        (F.col("pos") > 0)
+        & (F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10)
+           .cast("long") % CDC_K == 0)
+    )
+    w_doc = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = tok.withColumn(
+        "chunk_no",
+        F.sum(F.when(boundary, 1).otherwise(0)).over(w_doc),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_no").agg(
+        F.min("pos").alias("cpos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col("doc_id").alias("fdoc"),
+                       F.col("cpos").alias("fpos"))).alias("first"),
+    )
+    kept = chunks.join(firsts, "chunk").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.fdoc"))
+        & (F.col("cpos") == F.col("first.fpos")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("cpos", "chunk")))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

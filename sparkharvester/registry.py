@@ -102,6 +102,7 @@ ATTEST_FIRST: list[str] = [
     "crawl_robots_precedence",
     "crawl_robots_gate",
     "curate_domain_mix",
+    "dedup_cdc_passages",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -121,6 +122,7 @@ ATTEST_PARKED: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "rel_pricing_summary",
+    "rel_segment_revenue",
     "events_hourly",
     "f_url_filters",
     "curate_sample",

@@ -180,3 +180,47 @@ def save_all(df: DataFrame, out_dir: str,
     finally:
         df.unpersist()
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Live stats polling (reference gui.py:933-940 _poll_stats analog)
+# ---------------------------------------------------------------------------
+
+def read_live_stats(root: str) -> dict[str, Any] | None:
+    """Poll a running (or finished) crawl's committed progress.
+
+    The reference GUI polls ``crawler.stats`` on a timer from the UI
+    thread while the crawl runs in a worker (gui.py:926,933-940).  The
+    distributed analog is this Spark-free reader: every round's
+    snapshot commit publishes the manifest atomically (``current``
+    pointer swap), so ANY process can poll the checkpoint root and see
+    the last COMMITTED round's counters without touching the running
+    job.  Sums the per-partition metrics deltas with pyarrow — no
+    SparkSession, so a monitoring sidecar stays off the cluster.
+    """
+    store = SnapshotStore(root)
+    manifest = store.load_manifest()
+    if manifest is None:
+        return None
+    totals = {"pages_crawled": 0, "pages_failed": 0,
+              "pages_skipped": 0, "pages_deduplicated": 0}
+    import pyarrow.parquet as pq
+
+    for v in range(manifest["round"] + 1):
+        path = store._delta_path("metrics", v)
+        if not os.path.isdir(path):
+            continue
+        t = pq.read_table(path, columns=list(totals))
+        for k in totals:
+            s = sum(x if x is not None else 0 for x in t[k].to_pylist())
+            totals[k] += int(s)
+    return {
+        "round": manifest["round"],
+        "depth": manifest["depth"],
+        "run_id": manifest.get("run_id"),
+        "sites_crawled": manifest.get("n_seeds"),
+        "urls_seen": manifest.get("seen_total"),
+        "pages_by_seed": {int(k): v for k, v in manifest["counts"].items()},
+        "committed_at": manifest.get("committed_at"),
+        **totals,
+    }

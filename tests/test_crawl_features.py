@@ -475,3 +475,42 @@ def test_robots_multiple_rules_per_host(spark):
         blocked = f"http://{host}{p}"
         assert any(u.startswith(blocked) for u in plain_urls)
         assert not any(u.startswith(blocked) for u in gated_urls)
+
+
+def test_stop_file_graceful_stop_and_resume(spark, tmp_path):
+    """Cooperative stop (gui.py _on_stop analog): the stop file halts
+    the crawl after the current round's COMMITTED snapshot; the partial
+    run is resumable to a bit-identical final state, and the Spark-free
+    live-stats poller (gui.py _poll_stats analog) reads the committed
+    counters without a session."""
+    from sparkharvester.storage import read_live_stats
+
+    synth = SynthConfig(n_hosts=3, pages_per_host=12)
+    seeds = seed_urls(synth)
+    full = run_crawl(spark, seeds, synth, CrawlConfig(max_depth=2, max_pages=20))
+
+    root = str(tmp_path / "snap")
+    stop = tmp_path / "STOP"
+    stop.write_text("")          # present before round 1 -> stop after round 0
+    part = run_crawl(
+        spark, seeds, synth,
+        CrawlConfig(max_depth=2, max_pages=20, checkpoint_dir=root,
+                    stop_file=str(stop)),
+    )
+    assert part.rounds == 1      # stopped early, not exhausted
+    assert part.rounds < full.rounds
+
+    # live stats reflect exactly the committed partial round
+    live = read_live_stats(root)
+    assert live is not None
+    assert live["round"] == 0
+    assert live["pages_crawled"] == sum(
+        r["pages_crawled"] for r in part.metrics.collect())
+    assert sum(live["pages_by_seed"].values()) == live["pages_crawled"]
+
+    stop.unlink()                # stop request cleared -> resume completes
+    resumed = run_crawl(spark, seeds, synth,
+                        CrawlConfig(max_depth=2, max_pages=20),
+                        resume_from=root)
+    assert _pages_set(resumed) == _pages_set(full)
+    assert resumed.stats == full.stats
