@@ -321,3 +321,72 @@ def img_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_id", "n_pixels", "cum_pixels",
         F.expr(f"cum_pixels div {SHARD_PIXELS}").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Caption-spam gate: drop image+caption pairs whose caption is reused
+# across many DIFFERENT images (templated alt-text: "stock photo of…"),
+# the standard web-scale image-corpus curation step next to phash
+# dedup.  A caption is spam when it spans >= CAPTION_SPAM_GROUPS
+# distinct phash groups — re-captioned COPIES of one image (same ph)
+# are the dedup family's job, not spam.
+#
+# The synthetic captions are unique word salad, so a deterministic
+# dual-dialect template caption is injected on doc_id % 11 == 0 (the
+# same device enrich.py uses for IOCs): those rows share one caption
+# across many phash groups and must be flagged.
+#
+# Scale shape: groupBy on md5(caption) with map-side partial
+# aggregation; count(DISTINCT ph) rewrites to a two-phase aggregate
+# whose first phase dedups (cap_fp, ph) — a viral caption's rows
+# collapse per-partition before any shuffle, so the hot key ships
+# one row per (partition, ph), not per image.
+# ---------------------------------------------------------------------------
+
+CAPTION_SPAM_GROUPS = 2
+_TEMPLATE_CAPTION = "stock photo of a sunset over the ocean"
+
+
+def _cap_spam_sql() -> str:
+    return f"""
+WITH meta AS (SELECT * FROM {_IMG_META_SQL}),
+cap AS (
+  SELECT img_id, ph,
+         CASE WHEN img_id % 11 = 0 THEN '{_TEMPLATE_CAPTION}'
+              ELSE caption END AS caption
+  FROM meta
+)
+SELECT md5(caption) AS cap_fp,
+       CAST(count(*) AS BIGINT) AS n_imgs,
+       CAST(count(DISTINCT ph) AS BIGINT) AS n_ph_groups,
+       CAST(min(img_id) AS BIGINT) AS winner_img
+FROM cap
+GROUP BY md5(caption)
+HAVING count(DISTINCT ph) >= {CAPTION_SPAM_GROUPS}
+"""
+
+
+@register(
+    "img_caption_spam",
+    oracle=_cap_spam_sql(),
+    doc="caption-spam gate: captions reused across >= "
+        f"{CAPTION_SPAM_GROUPS} distinct phash groups (templated "
+        "alt-text), with the kept winner pair — deterministic "
+        "template-caption injection on img_id % 11",
+)
+def img_caption_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = _img_meta(spark, sf_dir)
+    cap = meta.select(
+        "img_id", "ph",
+        F.when(F.col("img_id") % 11 == 0, F.lit(_TEMPLATE_CAPTION))
+        .otherwise(F.col("caption")).alias("caption"),
+    )
+    return (
+        cap.groupBy(F.md5("caption").alias("cap_fp"))
+        .agg(
+            F.count("*").alias("n_imgs"),
+            F.countDistinct("ph").alias("n_ph_groups"),
+            F.min("img_id").alias("winner_img"),
+        )
+        .filter(F.col("n_ph_groups") >= CAPTION_SPAM_GROUPS)
+    )

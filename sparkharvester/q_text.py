@@ -1004,3 +1004,95 @@ def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("capped").cast("boolean").alias("capped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality buckets: per-language head / middle / tail thirds
+#
+# CCNet splits each language's corpus into quality terciles (by LM
+# perplexity there; by the stopword-density proxy here — the same score
+# text_quality ships) so downstream mixing can oversample the head.
+# Bucketing is EXACT-RANK integer arithmetic, not percentile cutoffs:
+# bucket = floor(3*(rank-1)/n) over the (score, doc_id) order, so no
+# float-boundary tie can ever disagree between engines.
+#
+# Scale shape: the rank within each language is NOT a per-language
+# window (one task would sort half the corpus for the dominant
+# language) — it rides seq.attach_grouped_prefix: range-partition on
+# (lang, score, doc_id), per-(partition, lang) counts prefix-summed on
+# the driver, one mapInPandas numbering pass.  Language sizes are a
+# |langs|-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _buckets_sql() -> str:
+    lang = _langid_sql().strip()
+    quality = _quality_sql().strip()
+    return f"""
+WITH lang_tbl AS ({lang}),
+q_tbl AS ({quality}),
+scored AS (
+  SELECT l.doc_id, l.lang_pred, q.stop_ratio AS score
+  FROM lang_tbl l JOIN q_tbl q ON q.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY lang_pred
+                                 ORDER BY score, doc_id) AS BIGINT)
+           AS lang_rank,
+         CAST(count(*) OVER (PARTITION BY lang_pred) AS BIGINT) AS n_lang
+  FROM scored
+)
+SELECT doc_id, lang_pred, score, lang_rank, n_lang,
+       CASE WHEN (lang_rank - 1) * 3 < n_lang THEN 'tail'
+            WHEN (lang_rank - 1) * 3 < 2 * n_lang THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM ranked
+"""
+
+
+@register(
+    "text_quality_buckets",
+    oracle=_buckets_sql(),
+    doc="CCNet-style per-language quality terciles (head/middle/tail) "
+        "by exact integer rank arithmetic — scalable rank via "
+        "range-partitioned grouped prefix sums, no per-language window",
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .seq import attach_grouped_prefix
+
+    df = load_spread(spark, sf_dir, "documents")
+    tl = _padded_lower(F.col("text"))
+    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
+    df = df.withColumns(scores)
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    stop_hits = _fold_count_subs(tl, [f" {w} " for w in QUALITY_STOPWORDS])
+    n_tokens = F.greatest(
+        F.regexp_count("text", F.lit(r"\S+")), F.lit(1)
+    ).cast("long")
+    scored = df.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.round(
+            stop_hits.cast("long").cast("double") / n_tokens.cast("double"), 6
+        ).alias("score"),
+    )
+    ranked = attach_grouped_prefix(
+        scored.withColumn("__zero", F.lit(0)),
+        "lang_pred", ["score", "doc_id"],
+        "__zero", "__cum", "lang_rank",
+    ).drop("__zero", "__cum")
+    counts = scored.groupBy("lang_pred").agg(F.count("*").alias("n_lang"))
+    r, n = F.col("lang_rank"), F.col("n_lang")
+    return (
+        ranked.join(F.broadcast(counts), "lang_pred")
+        .select(
+            "doc_id", "lang_pred", "score", "lang_rank", "n_lang",
+            F.when((r - 1) * 3 < n, F.lit("tail"))
+            .when((r - 1) * 3 < 2 * n, F.lit("middle"))
+            .otherwise(F.lit("head")).alias("bucket"),
+        )
+    )

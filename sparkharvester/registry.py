@@ -103,6 +103,8 @@ ATTEST_FIRST: list[str] = [
     "crawl_robots_gate",
     "curate_domain_mix",
     "dedup_cdc_passages",
+    "text_quality_buckets",
+    "img_caption_spam",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -123,6 +125,8 @@ ATTEST_PARKED: list[str] = [
     "dedup_simhash",
     "rel_pricing_summary",
     "rel_segment_revenue",
+    "rel_brand_revenue",
+    "rel_nation_revenue",
     "events_hourly",
     "f_url_filters",
     "curate_sample",

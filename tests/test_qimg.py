@@ -116,3 +116,34 @@ def test_img_hamming_knn_contract(spark, sf_dir):
         assert len(nbrs) == min(_KNN_K, deg[a])
         keys = [(r.hamming, r.img_b) for r in nbrs]
         assert keys == sorted(keys)
+
+
+def test_caption_spam_flags_template_only(spark, sf_dir):
+    """The injected template caption spans many phash groups and must be
+    flagged; every flagged row satisfies the spam predicate and carries
+    the min-img winner."""
+    from sparkharvester.q_img import (
+        CAPTION_SPAM_GROUPS,
+        _TEMPLATE_CAPTION,
+        _img_meta,
+        img_caption_spam,
+    )
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = img_caption_spam(spark, sf_dir).collect()
+    assert rows
+    tmpl_fp = hashlib.md5(_TEMPLATE_CAPTION.encode()).hexdigest()
+    fps = {r.cap_fp for r in rows}
+    assert tmpl_fp in fps
+    # recompute ground truth for the template caption from the meta view
+    meta = _img_meta(spark, sf_dir).filter(F.col("img_id") % 11 == 0)
+    n_imgs = meta.count()
+    n_groups = meta.select("ph").distinct().count()
+    winner = meta.agg(F.min("img_id")).first()[0]
+    tmpl = next(r for r in rows if r.cap_fp == tmpl_fp)
+    assert (tmpl.n_imgs, tmpl.n_ph_groups, tmpl.winner_img) == \
+        (n_imgs, n_groups, winner)
+    for r in rows:
+        assert r.n_ph_groups >= CAPTION_SPAM_GROUPS

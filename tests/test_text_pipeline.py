@@ -100,3 +100,86 @@ def test_domain_mix_waterfill_invariants(spark, sf_dir):
     # capped domains are exactly the raw-share leaders
     min_capped_raw = min(r["raw_share"] for r in capped)
     assert all(r["raw_share"] <= min_capped_raw for r in uncapped)
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops: CDC passage dedup + CCNet quality buckets
+# ---------------------------------------------------------------------------
+
+
+def _cdc_reference(docs):
+    """Sequential Python reference of dedup_cdc_passages' rule."""
+    import hashlib
+
+    from sparkharvester.q_dedup import CDC_FOOTERS, CDC_K
+
+    def boundary(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % CDC_K == 0
+
+    chunks_by_doc = {}
+    for doc_id, text in docs:
+        toks = (text + " " + CDC_FOOTERS[doc_id % 2]).split(" ")
+        out, cur, cpos = [], [toks[0]], 0
+        for i, t in enumerate(toks[1:], start=1):
+            if boundary(t):
+                out.append((cpos, " ".join(cur)))
+                cur, cpos = [t], i
+            else:
+                cur.append(t)
+        out.append((cpos, " ".join(cur)))
+        chunks_by_doc[doc_id] = out
+    seen = {}
+    for doc_id in sorted(chunks_by_doc):
+        for cpos, chunk in sorted(chunks_by_doc[doc_id]):
+            seen.setdefault(chunk, (doc_id, cpos))
+    res = {}
+    for doc_id, chunks in chunks_by_doc.items():
+        kept = [c for p, c in sorted(chunks) if seen[c] == (doc_id, p)]
+        res[doc_id] = (len(chunks), len(kept), " ".join(kept))
+    return res
+
+
+def test_cdc_passage_dedup_matches_python_reference(spark, tmp_path):
+    from sparkharvester.q_dedup import dedup_cdc_passages
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "iota kappa lambda mu nu xi omicron pi rho"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # clone of 0
+        (3, "unique words here only once in the corpus"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+           for r in dedup_cdc_passages(spark, str(tmp_path)).collect()}
+    assert got == _cdc_reference(docs)
+    # the even clone (same footer as doc 0) loses EVERYTHING: all its
+    # chunks first-occur in doc 0
+    assert got[2][1] == 0 and got[2][2] == ""
+    # odd-footer docs keep their body but share footer chunks: doc 3
+    # loses at least one interior footer chunk to doc 1
+    assert got[3][1] < got[3][0]
+
+
+def test_quality_buckets_are_exact_terciles(spark, sf_dir):
+    from collections import defaultdict
+
+    from sparkharvester.q_text import text_quality_buckets
+
+    rows = text_quality_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang_pred].append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r.score, r.doc_id))
+        n = len(rs)
+        for i, r in enumerate(rs):
+            assert r.lang_rank == i + 1 and r.n_lang == n
+            want = "tail" if 3 * i < n else ("middle" if 3 * i < 2 * n
+                                             else "head")
+            assert r.bucket == want, (lang, i, n, r.bucket, want)
+        # tercile sizes differ by at most 1
+        sizes = [sum(1 for r in rs if r.bucket == b)
+                 for b in ("tail", "middle", "head")]
+        assert max(sizes) - min(sizes) <= 1
