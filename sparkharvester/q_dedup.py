@@ -946,7 +946,12 @@ def dedup_cdc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("chunk"),
-    )
+    # chunks feeds BOTH the firsts agg and the join probe; without a
+    # persist Catalyst re-derives the whole scan→explode→window→agg
+    # subplan twice (verified in the formatted plan), doubling the
+    # dominant corpus-scan cost at 100 TB.  DISK_ONLY per the shingle-
+    # cache rationale at the top of this file.
+    ).persist(StorageLevel.DISK_ONLY)
     firsts = chunks.groupBy("chunk").agg(
         F.min(F.struct(F.col("doc_id").alias("fdoc"),
                        F.col("cpos").alias("fpos"))).alias("first"),

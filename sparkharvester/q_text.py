@@ -1085,7 +1085,10 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred", ["score", "doc_id"],
         "__zero", "__cum", "lang_rank",
     ).drop("__zero", "__cum")
-    counts = scored.groupBy("lang_pred").agg(F.count("*").alias("n_lang"))
+    # counts read the localCheckpoint attach_grouped_prefix already
+    # materialized (deriving them from `scored` would re-run the whole
+    # scan + langid/quality expression pipeline a second time)
+    counts = ranked.groupBy("lang_pred").agg(F.count("*").alias("n_lang"))
     r, n = F.col("lang_rank"), F.col("n_lang")
     return (
         ranked.join(F.broadcast(counts), "lang_pred")
