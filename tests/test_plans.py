@@ -63,3 +63,25 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     broadcast — the train side never shuffles before the join."""
     plan = _plan(all_queries()["curate_decontaminate"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_passages_single_scan(spark, sf_dir):
+    """The firsts agg and the join probe must SHARE the persisted
+    chunks subplan — without the DISK_ONLY persist the whole
+    scan→explode→window pipeline ran twice (round-5 plan audit)."""
+    plan = _plan(all_queries()["dedup_cdc_passages"].build(spark, sf_dir))
+    assert "InMemoryRelation" in plan
+    scans = [l for l in plan.splitlines()
+             if l.strip().startswith("(") and "Scan parquet" in l]
+    assert len(scans) <= 1, scans
+
+
+def test_quality_buckets_no_rescan_and_no_lang_window(spark, sf_dir):
+    """Tercile counts read the grouped-prefix localCheckpoint (no
+    second parquet scan of documents) and ranking never uses a
+    per-language Window (the dominant language would land in one
+    task)."""
+    plan = _plan(all_queries()["text_quality_buckets"].build(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan      # |langs|-row counts broadcast
