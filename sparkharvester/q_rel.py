@@ -275,6 +275,168 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan in PLANS.md).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# As-of join (events): for each click, the most recent view by the same
+# user at-or-before the click's timestamp — the classic time-series
+# operator Spark has no built-in for.  Implemented as the standard
+# DISTRIBUTED as-of device: tag both streams, union them, and take the
+# running last non-null view payload over a per-user event-time window —
+# ONE shuffle on user_id, no range self-join, no per-row subquery.  The
+# per-key window input is one user's events (bounded by that user's
+# activity, not the corpus); on a 1000-executor cluster this is exactly
+# the sort-merge as-of plan.  Tie rule (pinned so both engines agree
+# bit-for-bit): a view at the click's own timestamp matches, and among
+# same-(user, ts) views the max event_id wins.  The oracle reaches the
+# same result through DuckDB's native ASOF LEFT JOIN — a genuinely
+# different algorithm — over a (user, ts)-deduplicated view table.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_asof_join",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts,
+         max(event_id)          AS view_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id AS click_id,
+       c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       v.view_id,
+       v.view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+    doc="as-of join: each click matched to the user's most recent view "
+        "at-or-before it (union-tag + running last-non-null window; "
+        "single shuffle, no range self-join)",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("order_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("order_id"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("double").alias("v_value"),
+    )
+    # views sort BEFORE clicks at equal ts (tag 0 < 1) so an same-ts
+    # view is visible to the click; same-ts views resolve to the max
+    # event_id because it is last in (ts, tag, order_id) order.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "order_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn("view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("v_value", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("order_id").alias("click_id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("click_epoch"),
+            "view_id",
+            "view_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join (events): clicks landing within 10 minutes
+# after each error, per user.  A naive `c.ts BETWEEN e.ts AND e.ts+10m`
+# join gives Spark a BroadcastNestedLoopJoin — O(errors × clicks) per
+# user and a broadcast of a fact table; at 100 TB that is the plan that
+# never finishes.  The scalable form BUCKETIZES event time at the
+# interval width: every click lands in one (user, 600 s-bucket) key,
+# every error interval spans at most TWO such buckets (interval width ==
+# bucket width, proof in-line), so a 2×-bounded explode turns the
+# inequality join into an ordinary shuffled equi-join on
+# (user_id, bucket) + an exact timestamp refilter.  The oracle runs the
+# plain inequality join — DuckDB's IEJoin handles it fine at oracle
+# scale — so the bucketing device itself is what gets checked.
+# ---------------------------------------------------------------------------
+
+_RANGE_S = 600  # interval width AND bucket width, seconds
+
+@register(
+    "rel_range_join",
+    oracle=f"""
+SELECT e.event_id AS error_id,
+       e.user_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+       {cents_sum_sql('c.value')} AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >  e.ts
+ AND c.ts <= e.ts + INTERVAL {_RANGE_S} SECOND
+GROUP BY 1, 2
+""",
+    doc="range join: clicks within 10 min after each error, per user — "
+        "bucketized to a (user, time-bucket) equi-join (≤2 buckets per "
+        "interval) instead of a nested-loop inequality join",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # floor-to-second then floor-to-bucket: for a click in
+    # (err, err+600], floor_sec(click) <= floor_sec(err) + 600, and
+    # floor_sec(err) + 600 lies in bucket(err) + 1 exactly, so the
+    # click's bucket is bucket(err) or bucket(err)+1 — two keys cover
+    # every match even with sub-second timestamps.
+    bucket = (F.unix_timestamp("ts") / _RANGE_S).cast("long")
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+        bucket.alias("c_bucket"),
+    )
+    # the exact range predicate lives INSIDE the left-join condition
+    # (not a post-join filter): an error-bucket row whose bucket-mates
+    # are all out of range must survive null-extended, not vanish.
+    # Catalyst still joins on the (user_id, bucket) equi pair — the
+    # timestamp bounds ride along as the join filter.  The click side
+    # carries disjoint column names so the common-lineage self-join
+    # cannot resolve ambiguously.
+    matched = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts")
+           + F.expr(f"INTERVAL {_RANGE_S} SECONDS")),
+        "left",
+    )
+    # each matching click joins exactly ONE of the error's two bucket
+    # rows (equi on its single bucket key), so a plain count is exact;
+    # the other bucket row survives null-extended and adds zero.
+    return matched.groupBy("error_id", "user_id").agg(
+        F.count("c_id").alias("n_clicks"),
+        (F.sum(F.round(F.col("c_value") * 100, 0).cast("long"))
+         / F.lit(100.0)).alias("click_value"),
+    )
+
+
 @register(
     "rel_small_qty_revenue",
     oracle="""

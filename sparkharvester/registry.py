@@ -105,6 +105,8 @@ ATTEST_FIRST: list[str] = [
     "dedup_cdc_passages",
     "text_quality_buckets",
     "img_caption_spam",
+    "rel_asof_join",
+    "rel_range_join",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -131,6 +133,8 @@ ATTEST_PARKED: list[str] = [
     "f_url_filters",
     "curate_sample",
     "x_ioc_extract",
+    "events_sessions",
+    "text_corpus_stats",
 ]
 
 

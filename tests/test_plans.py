@@ -25,7 +25,8 @@ def _plan(df) -> str:
     "img_curate", "img_hamming_knn", "crawl_priority_order",
     "dedup_minhash_lsh", "rel_nation_revenue", "curate_shards",
     "crawl_robots_gate", "text_repetition", "curate_decontaminate",
-    "curate_sample", "crawl_three_rounds",
+    "curate_sample", "crawl_three_rounds", "rel_asof_join",
+    "rel_range_join",
 ])
 def test_no_cartesian_product(spark, sf_dir, name):
     df = all_queries()[name].build(spark, sf_dir)
@@ -74,6 +75,29 @@ def test_cdc_passages_single_scan(spark, sf_dir):
     scans = [l for l in plan.splitlines()
              if l.strip().startswith("(") and "Scan parquet" in l]
     assert len(scans) <= 1, scans
+
+
+def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
+    """The distributed as-of device is union-tag + per-key window: the
+    plan must contain exactly one hash exchange (on user_id) and a
+    Window — and NO join operator of any kind."""
+    plan = _plan(all_queries()["rel_asof_join"].build(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+    exchanges = [l for l in plan.splitlines()
+                 if "hashpartitioning(" in l]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_range_join_is_hash_join_on_buckets(spark, sf_dir):
+    """The bucketized range join must execute as a HASH join on the
+    (user, bucket) equi pair with the time bounds as the join filter —
+    a plain inequality join would fall back to
+    BroadcastNestedLoopJoin, the plan that never finishes at scale."""
+    plan = _plan(all_queries()["rel_range_join"].build(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+            or "SortMergeJoin" in plan)
 
 
 def test_quality_buckets_no_rescan_and_no_lang_window(spark, sf_dir):
