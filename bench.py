@@ -353,14 +353,29 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     qs = {n: q for n, q in all_queries().items() if q.bench}
-    for q in qs.values():
+    # round-5 additions, timed identically but reported OUTSIDE the
+    # headline set (VERDICT r4 #9: keep the 19-query set stable so
+    # like-for-like deltas stay readable; new entries listed separately)
+    extra_names = [
+        "dedup_cdc_passages", "text_quality_buckets", "curate_domain_mix",
+        "img_caption_spam", "rel_asof_join", "rel_range_join",
+        "viz_graph_layout", "crawl_robots_precedence",
+    ]
+    extras = {n: all_queries()[n] for n in extra_names}
+    for q in list(qs.values()) + list(extras.values()):
         q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
-    times: dict[str, float] = {}
-    for name, q in sorted(qs.items()):
-        t0 = time.monotonic()
-        df = q.build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+
+    def _time(group: dict) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, q in sorted(group.items()):
+            t0 = time.monotonic()
+            q.build(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            t[name] = round(time.monotonic() - t0, 3)
+        return t
+
+    times = _time(qs)
+    extra_times = _time(extras)
 
     fr = bench_frontier(spark, n=frontier_n)
     rd = bench_round(spark, n=frontier_n // 2)
@@ -388,6 +403,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extra_queries": extra_times,
+        "extra_total_sec": round(sum(extra_times.values()), 3),
         "sf": sf,
         **fr,
         **rd,

@@ -30,6 +30,7 @@ combined).  No layout state, no driver traffic.
 """
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
@@ -115,17 +116,27 @@ def graph_layout_nodes(pages: DataFrame, node_col: str = "url",
     (with_intel output): one 'site' row per hub + one 'page' row per
     page, with deterministic square-ring coordinates.  Pure per-row
     math for pages; one |sites|-group aggregation for hubs."""
-    node = F.col(node_col).cast("string")
-    site = F.col(site_col).cast("string")
-    rank = _risk_rank(F.col("risk_label"))
-
-    hub_x, hub_y = _ring_nums(_ring_m(site))
-    off_x, off_y = _ring_nums(_ring_m(node))
-    page_rows = pages.select(
-        node.alias("node"),
-        F.lit("page").alias("kind"),
-        rank.alias("risk_rank"),
+    # both union branches (page rows + the site-hub aggregation) read
+    # the same enriched input; persist the NARROW projection so the
+    # upstream enrichment (IOC regexes + the Arrow keyword pass, when
+    # fed from with_intel) runs once, not once per branch — the
+    # curate_final / dedup_cdc_passages single-scan device.  DISK_ONLY:
+    # no executor storage-memory pressure at scale, and the projection
+    # carries no text/payload columns.
+    base = pages.select(
+        F.col(node_col).cast("string").alias("__node"),
+        F.col(site_col).cast("string").alias("__site"),
+        _risk_rank(F.col("risk_label")).alias("__rank"),
         F.col("ioc_total").cast("long").alias("ioc_total"),
+    ).persist(StorageLevel.DISK_ONLY)
+
+    hub_x, hub_y = _ring_nums(_ring_m(F.col("__site")))
+    off_x, off_y = _ring_nums(_ring_m(F.col("__node")))
+    page_rows = base.select(
+        F.col("__node").alias("node"),
+        F.lit("page").alias("kind"),
+        F.col("__rank").alias("risk_rank"),
+        "ioc_total",
         F.lit(1).cast("long").alias("n_pages"),
         ((hub_x * _SITE_SCALE + off_x * _PAGE_SCALE) / float(_QUARTER))
         .alias("x"),
@@ -135,7 +146,7 @@ def graph_layout_nodes(pages: DataFrame, node_col: str = "url",
 
     sx, sy = _ring_nums(_ring_m(F.col("node")))
     site_rows = (
-        pages.select(site.alias("node"), rank.alias("__rank"), "ioc_total")
+        base.select(F.col("__site").alias("node"), "__rank", "ioc_total")
         .groupBy("node")
         .agg(F.max("__rank").alias("risk_rank"),
              F.sum("ioc_total").cast("long").alias("ioc_total"),
