@@ -839,13 +839,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc tail + footer head) stays unique per doc, exactly as CDC
 # predicts.
 #
-# Scale shape: explode(tokens) is linear in corpus tokens; chunk_no is
-# a per-doc running sum (per-doc partitions, uniform); the global
-# first-occurrence agg is a hash-groupBy on chunk text with map-side
-# partial aggregation (hot boilerplate chunks combine before the
-# shuffle); the join back re-shuffles on the same key (AQE skew-join
-# splits a pathologically hot chunk's probe partitions); reassembly is
-# a groupBy(doc_id).  No window ever sees more than one doc's tokens.
+# Scale shape: chunk formation is per-doc sequential, so it runs
+# ENTIRELY map-side — one higher-order `aggregate` over the token
+# array emits each doc's chunk list with zero shuffles (the original
+# explode → per-doc running-sum window → groupBy(doc, chunk_no) shape
+# paid two token-scale shuffles for the same chunks; round-5 plan
+# audit).  Downstream is chunk-scale: the global first-occurrence agg
+# is a hash-groupBy on chunk text with map-side partial aggregation
+# (hot boilerplate chunks combine before the shuffle); the join back
+# re-shuffles on the same key (AQE skew-join splits a pathologically
+# hot chunk's probe partitions); reassembly is a groupBy(doc_id).
+# Per-doc memory is one doc's tokens + chunks — bounded by doc size,
+# same as any per-doc window.
 # ---------------------------------------------------------------------------
 
 CDC_K = 4                  # expected chunk length in tokens
@@ -910,8 +915,6 @@ FROM ranked GROUP BY doc_id
         "deterministic footer injection)",
 )
 def dedup_cdc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     f0, f1 = CDC_FOOTERS
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id",
@@ -920,46 +923,46 @@ def dedup_cdc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0, F.lit(f0)).otherwise(F.lit(f1)),
         ).alias("txt"),
     )
-    tok = d.select(
+    # map-side content-defined chunker: fold the token array into
+    # (finished chunks, current chunk); the first token never opens a
+    # boundary (acc.cur IS NULL branch == the oracle's pos > 0 guard),
+    # and the boundary test is the same md5 prefix the oracle computes.
+    boundary = f"(conv(substring(md5(x), 1, 4), 16, 10) % {CDC_K}) = 0"
+    chunks_expr = F.expr(f"""
+      aggregate(
+        split(txt, ' '),
+        named_struct('chunks', cast(array() as array<string>),
+                     'cur', cast(null as string)),
+        (acc, x) -> CASE
+           WHEN acc.cur IS NULL
+             THEN named_struct('chunks', acc.chunks, 'cur', x)
+           WHEN {boundary}
+             THEN named_struct('chunks', array_append(acc.chunks, acc.cur),
+                               'cur', x)
+           ELSE named_struct('chunks', acc.chunks,
+                             'cur', concat(acc.cur, ' ', x)) END,
+        acc -> array_append(acc.chunks, acc.cur))
+    """)
+    # chunk_no is the in-doc position rank — within a doc it orders
+    # chunks exactly as the oracle's min-token-pos (cpos) does, so the
+    # first-occurrence rule and the reassembly order are unchanged.
+    chunks = d.select(
         "doc_id",
-        F.posexplode(F.split(F.col("txt"), " ")).alias("pos", "tok"),
-    ).withColumn("pos", F.col("pos").cast("long"))
-    boundary = (
-        (F.col("pos") > 0)
-        & (F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10)
-           .cast("long") % CDC_K == 0)
-    )
-    w_doc = (
-        Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    chunked = tok.withColumn(
-        "chunk_no",
-        F.sum(F.when(boundary, 1).otherwise(0)).over(w_doc),
-    )
-    chunks = chunked.groupBy("doc_id", "chunk_no").agg(
-        F.min("pos").alias("cpos"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("chunk"),
+        F.posexplode(chunks_expr).alias("chunk_no", "chunk"),
+    ).withColumn("chunk_no", F.col("chunk_no").cast("long"))
     # chunks feeds BOTH the firsts agg and the join probe; without a
-    # persist Catalyst re-derives the whole scan→explode→window→agg
-    # subplan twice (verified in the formatted plan), doubling the
-    # dominant corpus-scan cost at 100 TB.  DISK_ONLY per the shingle-
-    # cache rationale at the top of this file.
-    ).persist(StorageLevel.DISK_ONLY)
+    # persist Catalyst re-derives the whole scan→chunker subplan twice,
+    # doubling the dominant corpus-scan cost at 100 TB.  DISK_ONLY per
+    # the shingle-cache rationale at the top of this file.
+    chunks = chunks.persist(StorageLevel.DISK_ONLY)
     firsts = chunks.groupBy("chunk").agg(
         F.min(F.struct(F.col("doc_id").alias("fdoc"),
-                       F.col("cpos").alias("fpos"))).alias("first"),
+                       F.col("chunk_no").alias("fno"))).alias("first"),
     )
     kept = chunks.join(firsts, "chunk").withColumn(
         "keep",
         (F.col("doc_id") == F.col("first.fdoc"))
-        & (F.col("cpos") == F.col("first.fpos")),
+        & (F.col("chunk_no") == F.col("first.fno")),
     )
     return kept.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
@@ -968,7 +971,7 @@ def dedup_cdc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(F.col("keep"), F.struct("cpos", "chunk")))),
+                        F.when(F.col("keep"), F.struct("chunk_no", "chunk")))),
                 lambda s: s["chunk"],
             ),
             " ",
