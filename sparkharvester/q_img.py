@@ -390,3 +390,74 @@ def img_caption_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_ph_groups") >= CAPTION_SPAM_GROUPS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (the SDXL-style training-dataloader step: every
+# image is assigned to the nearest aspect bucket of a fixed ladder so
+# batches can be packed without per-image padding/cropping waste).
+#
+# Nearest-bucket assignment is usually argmin |log r − log b| — but a
+# float log is NOT engine-stable (JVM StrictMath vs DuckDB libm can
+# disagree in the last ulp and flip an argmin).  Between two adjacent
+# ladder aspects the nearest-bucket boundary is a fixed midpoint, so
+# assignment reduces to comparing w/h against the midpoints — done here
+# with EXACT integer cross-multiplication (w·mden < h·mnum), generated
+# by ONE Python loop and embedded verbatim in both dialects (the
+# robots-slate no-drift device).  One scan, all-codegen CASE ladder,
+# one |buckets|-group aggregation with map-side combine — linear to
+# any corpus size.
+# ---------------------------------------------------------------------------
+
+ASPECT_LADDER: list[tuple[str, int, int]] = [
+    ("1:4", 1, 4), ("1:2", 1, 2), ("3:4", 3, 4), ("1:1", 1, 1),
+    ("4:3", 4, 3), ("3:2", 3, 2), ("2:1", 2, 1), ("4:1", 4, 1),
+]
+
+
+def _aspect_case() -> str:
+    """CASE ladder over exact midpoint thresholds, shared verbatim by
+    the Spark plan and the DuckDB oracle.  Midpoint of n1/d1 and n2/d2
+    is (n1·d2 + n2·d1) / (2·d1·d2); `aspect < midpoint` becomes
+    `w·2·d1·d2 < h·(n1·d2 + n2·d1)`.  Ties (== midpoint) round up to
+    the wider bucket on both engines."""
+    arms = []
+    for (name, n1, d1), (_, n2, d2) in zip(ASPECT_LADDER, ASPECT_LADDER[1:]):
+        mnum, mden = n1 * d2 + n2 * d1, 2 * d1 * d2
+        arms.append(f"WHEN w * {mden} < h * {mnum} THEN '{name}'")
+    return ("CASE " + " ".join(arms)
+            + f" ELSE '{ASPECT_LADDER[-1][0]}' END")
+
+
+def _aspect_buckets_sql() -> str:
+    return f"""
+SELECT {_aspect_case()} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w * h) AS BIGINT) AS total_px,
+       CAST(max(w) AS BIGINT) AS max_w,
+       CAST(max(h) AS BIGINT) AS max_h
+FROM {_IMG_META_SQL}
+GROUP BY 1
+"""
+
+
+@register(
+    "img_aspect_buckets",
+    oracle=_aspect_buckets_sql(),
+    doc="SDXL-style aspect-ratio bucketing for batch packing: nearest "
+        "ladder bucket via exact integer midpoint thresholds (no "
+        "engine-unstable float log), per-bucket image counts and pixel "
+        "totals",
+)
+def img_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = _img_meta(spark, sf_dir)
+    return (
+        meta.select(F.expr(_aspect_case()).alias("bucket"), "w", "h")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("w") * F.col("h")).cast("long").alias("total_px"),
+            F.max("w").cast("long").alias("max_w"),
+            F.max("h").cast("long").alias("max_h"),
+        )
+    )

@@ -608,6 +608,67 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the SCALE path for the same
+# check.  curate_decontaminate broadcasts the eval (gram, eval_id)
+# table, which is right while benchmark suites stay broadcast-sized;
+# when an eval corpus outgrows that (or the broadcast hint is dropped
+# per the caveat above), the scalable shape is: build a BLOOM filter
+# of the eval grams (per-partition sketches ORed via treeAggregate —
+# the seen.py north-rule device; ~1.2 MB per million grams at 1% fpp,
+# broadcastable far beyond any hash-table limit), probe every train
+# gram against it map-side, and run the exact join ONLY for the
+# maybe-contaminated survivors — a set bounded by true contamination
+# plus the fpp·|grams| false positives, so the survivor join can be a
+# plain shuffle join (no hint; AQE picks).  False negatives are
+# impossible, false positives die in the exact join: the RESULT is
+# bit-identical to curate_decontaminate, and the oracle is literally
+# the same SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate_decontaminate_bloom",
+    oracle=_decon_sql(),
+    doc="bloom-prefiltered eval-set decontamination: treeAggregate-"
+        "merged bloom of the eval grams probed map-side, exact join "
+        "only for maybe-contaminated survivors — identical output to "
+        "curate_decontaminate, broadcast-free scale path",
+)
+def curate_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from .seen import bloom_probe_udf, build_bloom
+
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.withColumn("grams", _grams_udf(DECON_N)(F.col("text")))
+    ev = (
+        g.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"),
+                F.explode("grams").alias("gram"))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)   # bloom build + survivor join
+    )
+    # eval-sized driver traffic only: one count to size the filter
+    bloom = build_bloom(ev.select("gram"), "gram",
+                        expected_items=max(ev.count(), 1))
+    probe = bloom_probe_udf(spark, bloom)
+    tr = g.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        "doc_id", F.explode("grams").alias("gram"))
+    # definitely-clean grams (the overwhelming majority) never reach a
+    # join; survivors take the exact join with NO broadcast hint — at
+    # real scale AQE sees a small filtered side and picks accordingly
+    return (
+        tr.filter(probe(F.col("gram")))
+        .join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling — the data-MIXING step of a
 # training build: each language stratum keeps a configured fraction of
 # its docs, decided by a per-doc md5-derived uniform draw, so the

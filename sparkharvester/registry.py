@@ -107,6 +107,8 @@ ATTEST_FIRST: list[str] = [
     "img_caption_spam",
     "rel_asof_join",
     "rel_range_join",
+    "img_aspect_buckets",
+    "curate_decontaminate_bloom",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -135,6 +137,8 @@ ATTEST_PARKED: list[str] = [
     "x_ioc_extract",
     "events_sessions",
     "text_corpus_stats",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
 ]
 
 

@@ -183,3 +183,16 @@ def test_quality_buckets_are_exact_terciles(spark, sf_dir):
         sizes = [sum(1 for r in rs if r.bucket == b)
                  for b in ("tail", "middle", "head")]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_bloom_decontaminate_equals_plain(spark, sf_dir):
+    """The bloom-prefiltered scale path must be BIT-identical to the
+    broadcast-join form: false positives die in the exact join, false
+    negatives are impossible."""
+    from sparkharvester.registry import all_queries
+
+    plain = all_queries()["curate_decontaminate"].build(spark, sf_dir)
+    bloom = all_queries()["curate_decontaminate_bloom"].build(spark, sf_dir)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bloom.collect()))
+    assert a == b and len(a) > 0
