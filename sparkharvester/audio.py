@@ -131,3 +131,58 @@ def resample_audio(audio: DataFrame, out_rate: int = 4000) -> DataFrame:
 
     return audio.select("audio_id", "bytes", "fmt", "sample_rate") \
                 .mapInPandas(run, RESAMPLED_SCHEMA)
+
+
+AUDIO_INVARIANT_SCHEMA = (
+    "audio_id string, fmt string, samples_equal boolean, "
+    "duration_s double, rms_positive boolean, zcr_in_range boolean, "
+    "transcript_ok boolean, resample_exact boolean"
+)
+
+
+def check_invariants(audio: DataFrame, out_rate: int = 4000) -> DataFrame:
+    """Per-clip invariants vs the reference synthesis (the
+    images.check_invariants sibling): PCM16 decode reproduces
+    synth_samples bit-exactly (lossless codec contract), transcript
+    byte-equality, loudness features in their physical ranges, and the
+    resample_audio STAGE's actual payload verified against the
+    nearest-sample arithmetic recomputed from the source clip.
+
+    The resample check joins the stage output back on audio_id — an
+    independent re-derivation, not a tautology — then a single map
+    pass verifies everything; samples never reach the driver."""
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                x = decode_audio(bytes(r.bytes), r.fmt)
+                ref = synth_samples(r.audio_id, r.n_samples, r.sample_rate)
+                eq = bool(len(x) == r.n_samples and np.array_equal(x, ref))
+                xf = x.astype(np.float64)
+                rms = float(np.sqrt(np.mean(xf * xf))) if len(xf) else 0.0
+                zcr = (float(np.mean(np.signbit(xf[1:])
+                                     != np.signbit(xf[:-1])))
+                       if len(xf) > 1 else 0.0)
+                t_ok = r.transcript == (
+                    f"transcript for {r.audio_id}: synthetic clip")
+                # expected resample, re-derived from the SOURCE payload
+                out_n = max(1, (len(x) * out_rate) // r.sample_rate)
+                idx = (np.arange(out_n, dtype=np.int64)
+                       * r.sample_rate) // out_rate
+                expect = x[np.minimum(idx, len(x) - 1)].astype("<i2")
+                rs_ok = bool(r.rs_n == out_n
+                             and bytes(r.rs_bytes) == expect.tobytes())
+                out.append((r.audio_id, r.fmt, eq,
+                            len(x) / r.sample_rate, rms > 0.0,
+                            0.0 < zcr < 1.0, t_ok, rs_ok))
+            yield pd.DataFrame(out, columns=[
+                "audio_id", "fmt", "samples_equal", "duration_s",
+                "rms_positive", "zcr_in_range", "transcript_ok",
+                "resample_exact"])
+
+    from pyspark.sql import functions as F
+    rs = resample_audio(audio, out_rate=out_rate).select(
+        "audio_id", F.col("bytes").alias("rs_bytes"),
+        F.col("n_samples").alias("rs_n"))
+    return audio.join(rs, "audio_id").mapInPandas(
+        check, AUDIO_INVARIANT_SCHEMA)

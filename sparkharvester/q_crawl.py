@@ -507,6 +507,20 @@ def images_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_invariants(imgs)
 
 
+@register(
+    "audio_invariants",
+    oracle=None,
+    doc="audio payload invariants (multimodal, audio sibling of "
+        "images_invariants): PCM16 decode bit-equality vs synthesis, "
+        "transcript byte-equality, feature ranges, and the "
+        "resample_audio stage verified against in-row re-derivation",
+)
+def audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .audio import check_invariants as audio_check, make_audio_df
+
+    return audio_check(make_audio_df(spark, n=64))
+
+
 # ---------------------------------------------------------------------------
 # Priority-queue pop order — the north rule's "priority queue keyed by
 # (depth, host-budget, discovery-time)" materialized as a query: BFS

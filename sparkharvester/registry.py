@@ -109,6 +109,7 @@ ATTEST_FIRST: list[str] = [
     "rel_range_join",
     "img_aspect_buckets",
     "curate_decontaminate_bloom",
+    "audio_invariants",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -139,6 +140,9 @@ ATTEST_PARKED: list[str] = [
     "text_corpus_stats",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    # parked for r5 to make room for audio_invariants (urlnorm contract
+    # unchanged since its r4 driver row; pinned by test_urlnorm vectors)
+    "x1_canonicalize",
 ]
 
 

@@ -64,3 +64,32 @@ def test_resample_halves_length_and_is_pcm16(spark, audio_rows):
 def test_unknown_codec_is_explicit():
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x01", "mp3")
+
+
+def test_check_invariants_all_green(spark):
+    from sparkharvester.audio import check_invariants
+
+    rows = check_invariants(make_audio_df(spark, n=16)).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["samples_equal"] and r["transcript_ok"]
+        assert r["rms_positive"] and r["zcr_in_range"]
+        assert r["resample_exact"]
+        assert r["duration_s"] > 0.4
+
+
+def test_check_invariants_catches_payload_corruption(spark):
+    from pyspark.sql import functions as F
+
+    from sparkharvester.audio import check_invariants
+
+    src = make_audio_df(spark, n=8)
+    # flip the first sample of every payload: decode still works but
+    # bit-equality vs the reference synthesis must fail
+    corrupted = src.withColumn(
+        "bytes",
+        F.concat(F.expr("X'FFFF'"), F.expr("substring(bytes, 3)")))
+    rows = check_invariants(corrupted).collect()
+    assert len(rows) == 8
+    assert all(not r["samples_equal"] for r in rows)
+    assert all(r["resample_exact"] for r in rows)  # stage still consistent
