@@ -17,6 +17,14 @@ sys.path.insert(0, ".")
 from sparkharvester.registry import all_queries  # noqa: E402
 from sparkharvester.session import get_spark  # noqa: E402
 
+# round-5 bench extras (bench.py extra_names): timed outside the
+# 19-query headline set but plan-audited here alongside it
+BENCH_EXTRAS = {
+    "dedup_cdc_passages", "text_quality_buckets", "curate_domain_mix",
+    "img_caption_spam", "rel_asof_join", "rel_range_join",
+    "viz_graph_layout", "crawl_robots_precedence",
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -28,7 +36,7 @@ def main() -> None:
     for name, q in sorted(qs.items()):
         if names and name not in names:
             continue
-        if not names and not q.bench:
+        if not names and not q.bench and name not in BENCH_EXTRAS:
             continue
         df = q.build(spark, sf_dir)
         buf = io.StringIO()
