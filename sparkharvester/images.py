@@ -24,6 +24,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -314,3 +315,114 @@ def check_invariants(images: DataFrame, seed: int = 42) -> DataFrame:
             )
 
     return images.mapInPandas(check, INVARIANT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# dup-injected corpus + pixel-level near-dup verification
+# (the image twin of q_dedup's LSH -> exact-Jaccard verify: phash-banded
+# candidates are cheap but cannot tell exact copies from perturbed
+# near-copies — only decoding both payloads can)
+# ---------------------------------------------------------------------------
+
+DUP_EVERY = 4       # every 4th base image gets injected duplicates
+NEAR_STEP = 64      # near-copy perturbation: +1 on every 64th pixel
+
+
+def make_images_with_dups(spark: SparkSession, n: int = 64,
+                          seed: int = 42) -> DataFrame:
+    """Images table with deterministic injected duplicates: every
+    DUP_EVERY-th base image also yields
+
+    * ``<id>-xc`` — an EXACT-pixel copy re-encoded in the other format
+      (png <-> raw): different bytes, identical pixels, identical phash;
+    * ``<id>-nc`` — a NEAR copy (+1 on every NEAR_STEP-th byte of the
+      pixel buffer, clipped): PSNR ~ 66 dB, phash within a bit or two.
+
+    mapInPandas like make_images_df — pixels never on the driver."""
+    base = spark.range(n).selectExpr("concat('img-', id) AS image_id",
+                                     "id AS idx")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, idx in zip(pdf["image_id"], pdf["idx"]):
+                hseed = int(hashlib.md5(f"{seed}/{img_id}".encode())
+                            .hexdigest()[:8], 16)
+                w = 8 + hseed % 57
+                h = 8 + (hseed >> 8) % 57
+                fmt = "png" if hseed % 2 == 0 else "raw"
+                px = synth_pixels(img_id, w, h)
+                data = encode_png(px) if fmt == "png" else px.tobytes()
+                cap = f"caption for {img_id}: synthetic {w}x{h} {fmt}"
+                rows.append((img_id, data, w, h, fmt, cap, phash64(px)))
+                if idx % DUP_EVERY == 0:
+                    ofmt = "raw" if fmt == "png" else "png"
+                    odata = px.tobytes() if ofmt == "raw" else encode_png(px)
+                    rows.append((f"{img_id}-xc", odata, w, h, ofmt,
+                                 cap, phash64(px)))
+                    buf = px.reshape(-1).copy()
+                    sel = np.arange(0, buf.size, NEAR_STEP)
+                    buf[sel] = np.minimum(buf[sel].astype(np.int32) + 1,
+                                          255).astype(np.uint8)
+                    npx = buf.reshape(h, w, 3)
+                    rows.append((f"{img_id}-nc", npx.tobytes(), w, h, "raw",
+                                 cap, phash64(npx)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                               "caption", "phash"])
+
+    return base.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+PIXEL_VERIFY_SCHEMA = ("img_a string, img_b string, hamming int, "
+                       "pixels_equal boolean, psnr_db double, "
+                       "verdict string")
+
+
+def pixel_verify_pairs(images: DataFrame, pairs: DataFrame,
+                       psnr_near: float = 40.0) -> DataFrame:
+    """Verify phash-candidate pairs at the PIXEL level: join both
+    payloads, decode, and classify —
+
+    * ``exact``  pixels identical (byte/codec changes invisible),
+    * ``near``   PSNR >= psnr_near (the input_hint lossy threshold),
+    * ``reject`` a phash collision that pixel evidence refutes.
+
+    ``pairs`` is any ``(img_a, img_b, hamming)`` candidate table (e.g.
+    q_more.phash_hamming_pairs over the real phash column).  The two
+    payload joins are plain shuffle hash joins on image_id — at 10^10
+    images the candidate side is LSH-bounded, never all-pairs — and the
+    decode+PSNR pass is zero-shuffle mapInPandas on the joined rows.
+    Mismatched dimensions classify as reject without decoding."""
+    a = images.select(F.col("image_id").alias("img_a"),
+                      F.col("bytes").alias("bytes_a"),
+                      F.col("fmt").alias("fmt_a"),
+                      F.col("w").alias("w_a"), F.col("h").alias("h_a"))
+    b = images.select(F.col("image_id").alias("img_b"),
+                      F.col("bytes").alias("bytes_b"),
+                      F.col("fmt").alias("fmt_b"),
+                      F.col("w").alias("w_b"), F.col("h").alias("h_b"))
+    j = pairs.join(a, "img_a").join(b, "img_b")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.w_a != r.w_b or r.h_a != r.h_b:
+                    rows.append((r.img_a, r.img_b, int(r.hamming),
+                                 False, 0.0, "reject"))
+                    continue
+                pa = decode_image(bytes(r.bytes_a), r.fmt_a, r.w_a, r.h_a)
+                pb = decode_image(bytes(r.bytes_b), r.fmt_b, r.w_b, r.h_b)
+                eq = bool(np.array_equal(pa, pb))
+                p = psnr(pa, pb)
+                p = p if np.isfinite(p) else 999.0
+                verdict = ("exact" if eq
+                           else "near" if p >= psnr_near else "reject")
+                rows.append((r.img_a, r.img_b, int(r.hamming), eq, p,
+                             verdict))
+            yield pd.DataFrame(rows, columns=[
+                "img_a", "img_b", "hamming", "pixels_equal", "psnr_db",
+                "verdict"])
+
+    return j.mapInPandas(run, PIXEL_VERIFY_SCHEMA)

@@ -521,6 +521,26 @@ def audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_check(make_audio_df(spark, n=64))
 
 
+@register(
+    "img_dup_pixel_verified",
+    oracle=None,
+    doc="pixel-verified image near-dup (the image twin of "
+        "dedup_lsh_verified's LSH -> exact verify): banded phash-Hamming "
+        "LSH candidates over the REAL phash column of a dup-injected "
+        "payload corpus, each pair decoded and classified exact (pixel "
+        "equality across codecs) / near (PSNR >= 40 dB, the input_hint "
+        "lossy threshold) / reject",
+)
+def img_dup_pixel_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .images import make_images_with_dups, pixel_verify_pairs
+    from .q_more import phash_hamming_pairs
+
+    imgs = make_images_with_dups(spark, n=64).persist()
+    ph = imgs.select(F.col("image_id").alias("img_id"),
+                     F.col("phash").alias("ph"))
+    return pixel_verify_pairs(imgs, phash_hamming_pairs(ph))
+
+
 # ---------------------------------------------------------------------------
 # Priority-queue pop order — the north rule's "priority queue keyed by
 # (depth, host-budget, discovery-time)" materialized as a query: BFS

@@ -110,6 +110,7 @@ ATTEST_FIRST: list[str] = [
     "img_aspect_buckets",
     "curate_decontaminate_bloom",
     "audio_invariants",
+    "img_dup_pixel_verified",
 ]
 
 # Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
@@ -143,6 +144,9 @@ ATTEST_PARKED: list[str] = [
     # parked for r5 to make room for audio_invariants (urlnorm contract
     # unchanged since its r4 driver row; pinned by test_urlnorm vectors)
     "x1_canonicalize",
+    # parked for r5 to make room for img_dup_pixel_verified (r4-green,
+    # unchanged; the recall siblings in the window cover the family)
+    "sim_cosine_topk",
 ]
 
 

@@ -147,3 +147,30 @@ def test_caption_spam_flags_template_only(spark, sf_dir):
         (n_imgs, n_groups, winner)
     for r in rows:
         assert r.n_ph_groups >= CAPTION_SPAM_GROUPS
+
+
+def test_img_dup_pixel_verified_classifies_injected_dups(spark):
+    from sparkharvester.registry import all_queries
+
+    rows = all_queries()["img_dup_pixel_verified"].build(
+        spark, "/root/testdata/sf0.001").collect()
+    # n=64, every 4th base image gets -xc (exact re-encode) and -nc
+    # (perturbed): 16 groups x 3 pairs, all found (phash-banded LSH has
+    # exact recall at hamming <= 3 and the injected dups stay within it)
+    assert len(rows) == 48
+    by = {(r["img_a"], r["img_b"]): r for r in rows}
+    verdicts = {}
+    for (a, b), r in by.items():
+        assert a.split("-")[1] == b.split("-")[1]  # same dup group only
+        # exact iff the pair is {base, -xc} (identical pixels, codec
+        # change only); any pair involving -nc is perturbed -> near
+        want = "near" if (a.endswith("-nc") or b.endswith("-nc")) \
+            else "exact"
+        assert r["verdict"] == want, (a, b, r["verdict"])
+        verdicts.setdefault(r["verdict"], 0)
+        verdicts[r["verdict"]] += 1
+        if r["verdict"] == "exact":
+            assert r["pixels_equal"] and r["psnr_db"] == 999.0
+        else:
+            assert not r["pixels_equal"] and r["psnr_db"] >= 40.0
+    assert verdicts == {"exact": 16, "near": 32}
