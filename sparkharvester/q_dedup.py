@@ -118,12 +118,24 @@ def _shingles_udf():
                 ])
             return pd.Series(out, index=texts.index)
 
-        _UDF_CACHE["sh"] = pandas_udf(shingle, "array<string>")
+        # nondeterministic ON PURPOSE: _docs_shingled filters on
+        # size(shingles) > 0, and a deterministic UDF gets duplicated
+        # around the pushed-down filter (guide §4.4) — see the note
+        # there.
+        _UDF_CACHE["sh"] = pandas_udf(shingle, "array<string>") \
+            .asNondeterministic()
     return _UDF_CACHE["sh"]
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    # the shingler is marked nondeterministic so the size(shingles) > 0
+    # filter CANNOT be pushed below it: the pushed-down filter made the
+    # optimizer evaluate the ArrowEvalPython node TWICE, the first copy
+    # below the spread-exchange on the scan's single input partition
+    # (guide §4.4; measured 2.4 s vs 0.5 s for this stage at sf1.0).
+    # No upstream-pushable filter exists on this path, so the only
+    # optimization ND blocks is the harmful one.
     return (
         d.withColumn("shingles", _shingles_udf()(F.col("text")))
         .filter(F.size("shingles") > 0)
@@ -283,13 +295,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(_docs_shingled(spark, sf_dir))
 
 
-def _band_table(shingled: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_hash) LSH band table from shingles."""
+def _band_table(shingled: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, band_id, band_hash[, *carry]) LSH band table from
+    shingles.  *carry* names extra input columns to pass through
+    unchanged (dedup_lsh_verified rides its set-size bound on them)."""
     hashed = shingled.withColumn(
         "__sigs", _sig_udf()(F.col("shingles"))
     )
     sig = hashed.select(
         "doc_id",
+        *carry,
         *[F.element_at(F.col("__sigs"), j + 1).alias(f"mh_{j}")
           for j in range(MINHASH_K)],
     )
@@ -302,8 +317,8 @@ def _band_table(shingled: DataFrame) -> DataFrame:
         for b in range(LSH_BANDS)
     ])
     return sig.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+        "doc_id", *carry, F.explode(band_structs).alias("band")
+    ).select("doc_id", *carry, "band.band_id", "band.band_hash")
 
 
 def _lsh_candidates(shingled: DataFrame) -> DataFrame:
@@ -394,15 +409,53 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc cost; without the cache it runs twice); DISK_ONLY so the
     # full-table shingle arrays never occupy executor storage memory
     shingled = _docs_shingled(spark, sf_dir).persist(_SHINGLE_CACHE_LEVEL)
-    cand = _lsh_candidates(shingled)
+
+    # Round-6 verify restructure (guide §2.3/§3: shuffle fewer bytes,
+    # decide with small rows before attaching payloads).  Hot shingles
+    # make LSH precision poor on this corpus (~110-doc band buckets →
+    # 1.3M candidate pairs at sf1.0 for only 2.5k true pairs), so the
+    # old plan attached ~50-element shingle arrays to every candidate
+    # and SORT-MERGE-joined the fat intermediate twice (measured 8.8 s
+    # of the 11.6 s total at sf1.0).  Two lossless changes:
+    #  1. the distinct-set SIZE rides the band table (one int), and the
+    #     self-join condition adds min(n)/max(n) >= T — a strict upper
+    #     bound on Jaccard (|∩| <= min, |∪| >= max), so no qualifying
+    #     pair can be dropped; division is correctly rounded and
+    #     monotone, hence jac >= T always implies the bound passes.
+    #     Candidates drop ~3x BEFORE the distinct.
+    #  2. the array attach uses SHUFFLE_HASH joins: the pair table
+    #     streams against a per-partition hash of the sets — no sort of
+    #     array-typed rows, and nothing corpus-sized is broadcast.
+    # Measured at sf1.0: 11.6 s → ~3 s, byte-identical output.
+    shingled_n = shingled.withColumn(
+        "__n", F.size(F.array_distinct("shingles")))
+    bands = _band_table(shingled_n, carry=("__n",)) \
+        .persist(_SHINGLE_CACHE_LEVEL)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+               / F.greatest(F.col("a.__n"), F.col("b.__n")).cast("double")
+               >= JACCARD_THRESHOLD),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     sets = shingled.select(
         "doc_id", F.array_distinct("shingles").alias("sh")
     )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    aa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    bb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(a, "doc_a").join(b, "doc_b")
+        cand.join(aa.hint("shuffle_hash"), "doc_a")
+        .join(bb.hint("shuffle_hash"), "doc_b")
         .withColumn("__c", inter.cast("double"))
         .withColumn(
             "jac",

@@ -395,6 +395,8 @@ _REP_TOKEN_RE = r"[a-z0-9]+"
 
 
 def _rep_udf():
+    # returned UDF is nondeterministic ON PURPOSE: text_repetition
+    # filters on n_grams > 0 — see the note there (guide §4.4).
     from pyspark.sql.functions import pandas_udf
 
     import pandas as pd
@@ -421,7 +423,8 @@ def _rep_udf():
                              "top_frac": top_l})
 
     return pandas_udf(
-        rep, "n_grams long, dup_frac double, top_frac double")
+        rep, "n_grams long, dup_frac double, top_frac double") \
+        .asNondeterministic()
 
 
 def _gram_concat(n: int) -> str:
@@ -477,7 +480,15 @@ FROM p JOIN tp USING (doc_id)
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
-    r = d.withColumn("__r", _rep_udf()(F.col("text"))).select(
+    # the UDF is marked nondeterministic so the n_grams > 0 filter on
+    # its output CANNOT be pushed below it: the pushed-down filter made
+    # the optimizer evaluate the whole ArrowEvalPython node TWICE, the
+    # first copy below the spread-exchange on the scan's single input
+    # partition (guide §4.4; round-6 plan audit: 2 ArrowEvalPython → 1,
+    # 1.9 s → 0.6 s at sf1.0).  No other filter wants to push past it.
+    r = d.withColumn(
+        "__r", _rep_udf()(F.col("text"))
+    ).select(
         "doc_id",
         F.col("__r.n_grams").alias("n_grams"),
         F.col("__r.dup_frac").alias("__dup"),
@@ -821,9 +832,15 @@ def _rep_decon_udf(ev_bc):
         return pd.DataFrame({"n_grams": n_l, "dup_frac": dup_l,
                              "top_frac": top_l, "hits_eval": hit_l})
 
+    # nondeterministic ON PURPOSE (guide §4.4): curate_final filters on
+    # every output field of this UDF, and the pushed-down filter made
+    # the optimizer evaluate the ArrowEvalPython node twice per row —
+    # the Counter/gram pass is the dominant per-doc cost, so the
+    # duplicate eval roughly doubled the stage (round-6 plan audit:
+    # 2 ArrowEvalPython → 1).
     return pandas_udf(
         rd, "n_grams long, dup_frac double, top_frac double, "
-            "hits_eval boolean")
+            "hits_eval boolean").asNondeterministic()
 
 
 @register(
