@@ -958,6 +958,51 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def _cdc_chunker_udf():
+    """Vectorized pandas content-defined chunker: footer-appended text →
+    ordered chunk array.  Same semantics as the oracle's running-sum
+    chunking (first token never opens a boundary; boundary iff
+    md5(token)[:4] % CDC_K == 0) and as the JVM ``aggregate`` fold it
+    replaces — the fold evaluated its lambda INTERPRETED per token with
+    a JVM md5 per element (round-6 audit: 2.1 s for the map stage at
+    sf1.0).  Here the boundary test is memoized per worker (the token
+    vocabulary is tiny relative to token occurrences), so each distinct
+    token pays one md5 ever: 2.1 s → ~0.9 s map stage."""
+    if "cdc" not in _UDF_CACHE:
+        import hashlib
+
+        from pyspark.sql.functions import pandas_udf
+
+        cache: dict[str, bool] = {}
+
+        def is_boundary(tok: str) -> bool:
+            b = cache.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) \
+                    % CDC_K == 0
+                cache[tok] = b
+            return b
+
+        def chunk(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks = t.split(" ")
+                chunks = []
+                cur = [toks[0]]
+                for x in toks[1:]:
+                    if is_boundary(x):
+                        chunks.append(" ".join(cur))
+                        cur = [x]
+                    else:
+                        cur.append(x)
+                chunks.append(" ".join(cur))
+                out.append(chunks)
+            return pd.Series(out, index=texts.index)
+
+        _UDF_CACHE["cdc"] = pandas_udf(chunk, "array<string>")
+    return _UDF_CACHE["cdc"]
+
+
 @register(
     "dedup_cdc_passages",
     oracle=_cdc_sql(),
@@ -976,47 +1021,26 @@ def dedup_cdc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0, F.lit(f0)).otherwise(F.lit(f1)),
         ).alias("txt"),
     )
-    # map-side content-defined chunker: fold the token array into
-    # (finished chunks, current chunk); the first token never opens a
-    # boundary (acc.cur IS NULL branch == the oracle's pos > 0 guard),
-    # and the boundary test is the same md5 prefix the oracle computes.
-    boundary = f"(conv(substring(md5(x), 1, 4), 16, 10) % {CDC_K}) = 0"
-    chunks_expr = F.expr(f"""
-      aggregate(
-        split(txt, ' '),
-        named_struct('chunks', cast(array() as array<string>),
-                     'cur', cast(null as string)),
-        (acc, x) -> CASE
-           WHEN acc.cur IS NULL
-             THEN named_struct('chunks', acc.chunks, 'cur', x)
-           WHEN {boundary}
-             THEN named_struct('chunks', array_append(acc.chunks, acc.cur),
-                               'cur', x)
-           ELSE named_struct('chunks', acc.chunks,
-                             'cur', concat(acc.cur, ' ', x)) END,
-        acc -> array_append(acc.chunks, acc.cur))
-    """)
     # chunk_no is the in-doc position rank — within a doc it orders
     # chunks exactly as the oracle's min-token-pos (cpos) does, so the
     # first-occurrence rule and the reassembly order are unchanged.
     chunks = d.select(
         "doc_id",
-        F.posexplode(chunks_expr).alias("chunk_no", "chunk"),
+        F.posexplode(_cdc_chunker_udf()(F.col("txt")))
+        .alias("chunk_no", "chunk"),
     ).withColumn("chunk_no", F.col("chunk_no").cast("long"))
-    # chunks feeds BOTH the firsts agg and the join probe; without a
-    # persist Catalyst re-derives the whole scan→chunker subplan twice,
-    # doubling the dominant corpus-scan cost at 100 TB.  DISK_ONLY per
-    # the shingle-cache rationale at the top of this file.
-    chunks = chunks.persist(StorageLevel.DISK_ONLY)
-    firsts = chunks.groupBy("chunk").agg(
-        F.min(F.struct(F.col("doc_id").alias("fdoc"),
-                       F.col("chunk_no").alias("fno"))).alias("first"),
-    )
-    kept = chunks.join(firsts, "chunk").withColumn(
-        "keep",
-        (F.col("doc_id") == F.col("first.fdoc"))
-        & (F.col("chunk_no") == F.col("first.fno")),
-    )
+    # global first occurrence as ONE window over chunk (mirrors the
+    # oracle's row_number): the round-5 groupBy(chunk) + join-back shape
+    # shuffled the chunk table TWICE plus a DISK_ONLY persist round-trip
+    # for the shared subplan; the window form is one chunk-keyed
+    # exchange, no persist, one scan (round-6 audit: 5.4 s → 2.8 s at
+    # sf1.0).  Window partitions are per-chunk — bounded by the
+    # multiplicity of one boilerplate chunk, the same bound the join
+    # probe had.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_no")
+    kept = chunks.withColumn("keep", F.row_number().over(w) == 1)
     return kept.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),

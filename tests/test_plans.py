@@ -67,14 +67,20 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
 
 
 def test_cdc_passages_single_scan(spark, sf_dir):
-    """The firsts agg and the join probe must SHARE the persisted
-    chunks subplan — without the DISK_ONLY persist the whole
-    scan→explode→window pipeline ran twice (round-5 plan audit)."""
+    """First-occurrence selection is ONE window over chunk (mirroring
+    the oracle's row_number), not the round-5 groupBy + join-back pair
+    that shuffled the chunk table twice behind a persisted subplan —
+    so the plan must show a single parquet scan, a single Arrow
+    chunker eval, a Window, and no join."""
     plan = _plan(all_queries()["dedup_cdc_passages"].build(spark, sf_dir))
-    assert "InMemoryRelation" in plan
     scans = [l for l in plan.splitlines()
              if l.strip().startswith("(") and "Scan parquet" in l]
     assert len(scans) <= 1, scans
+    evals = [l for l in plan.splitlines()
+             if l.strip().startswith("(") and "ArrowEvalPython" in l]
+    assert len(evals) == 1, evals
+    assert "Window" in plan
+    assert "Join" not in plan
 
 
 def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
