@@ -79,6 +79,84 @@ def _lang_score_sql(tl: str, lang: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# fused language/quality scoring — ONE Arrow pass for the 32 language-
+# stopword counts, the 18 quality-stopword counts and the whitespace
+# token count (round 6; guide §4.2).  The JVM fold form evaluated its
+# lambda per needle with two full passes over the padded text each
+# (length + replace), all interpreted; Python's C-level str.count on
+# the same padded-lower text computes the identical non-overlapping
+# counts ((len(t) - len(t.replace(n, ''))) / len(n) == t.count(n)), and
+# integer sums are order-independent, so parity with the fold (and the
+# DuckDB oracle) is exact.  The word count is max(#\S+ runs, 1) on the
+# RAW text, same as intel._hits_udf.  Nondeterministic ON PURPOSE: the
+# curation pipeline filters on these outputs and a deterministic UDF
+# would be duplicated around the pushed-down filter (guide §4.4).
+# ---------------------------------------------------------------------------
+
+
+_SCORES_UDF_CACHE: dict[str, object] = {}
+
+
+def _scores_udf():
+    key = "scores"
+    if key not in _SCORES_UDF_CACHE:
+        import re
+
+        import pandas as pd
+
+        from pyspark.sql.functions import pandas_udf
+
+        lang_needles = [(lang, list(LANG_STOPWORDS[lang]))
+                        for lang in LANG_ORDER]
+        q_needles = [f" {w} " for w in QUALITY_STOPWORDS]
+        ws_re = re.compile(r"\S+")
+
+        def scores(texts):
+            cols: dict[str, list] = {f"sc_{lang}": []
+                                     for lang, _ in lang_needles}
+            n_stop, n_tok = [], []
+            for t in texts:
+                tl = f" {t.lower()} "
+                for lang, needles in lang_needles:
+                    cols[f"sc_{lang}"].append(
+                        sum(tl.count(n) for n in needles))
+                n_stop.append(sum(tl.count(n) for n in q_needles))
+                n_tok.append(max(len(ws_re.findall(t)), 1))
+            cols["n_stop"] = n_stop
+            cols["n_tok"] = n_tok
+            return pd.DataFrame(cols, index=texts.index)
+
+        fields = ", ".join([f"sc_{lang} int" for lang in LANG_ORDER]
+                           + ["n_stop int", "n_tok long"])
+        _SCORES_UDF_CACHE[key] = pandas_udf(scores, fields) \
+            .asNondeterministic()
+    return _SCORES_UDF_CACHE[key]
+
+
+def _with_scores(df: DataFrame) -> DataFrame:
+    """Attach sc_<lang> (int), __n_stop (long) and __n_tok (long)
+    columns computed by the fused Arrow pass; cast chain matches the
+    JVM fold form it replaced (fold result was int, callers cast to
+    long)."""
+    df = df.withColumn("__sc", _scores_udf()(F.col("text")))
+    return df.withColumns({
+        **{f"sc_{lang}": F.col(f"__sc.sc_{lang}") for lang in LANG_ORDER},
+        "__n_stop": F.col("__sc.n_stop").cast("long"),
+        "__n_tok": F.col("__sc.n_tok"),
+    }).drop("__sc")
+
+
+def _lang_pred_col() -> F.Column:
+    """argmax of sc_<lang> with LANG_ORDER tie-break; all-zero → 'und'
+    (identical When-chain to the oracle's CASE)."""
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    return pred
+
+
+# ---------------------------------------------------------------------------
 # language ID — argmax of stopword hit counts, first-lang tie-break
 # ---------------------------------------------------------------------------
 
@@ -107,15 +185,9 @@ FROM s
     bench=True,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_spread(spark, sf_dir, "documents")
-    tl = _padded_lower(F.col("text"))
-    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
-    df = df.withColumns(scores)
-    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
-    pred = F.when(best == 0, F.lit("und"))
-    for lang in LANG_ORDER:
-        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
-    return df.select("doc_id", pred.alias("lang_pred"))
+    df = _with_scores(load_spread(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
+    return df.select("doc_id", _lang_pred_col().alias("lang_pred"))
 
 
 # ---------------------------------------------------------------------------
@@ -150,20 +222,15 @@ FROM q
     doc="per-doc quality metrics: length, punct ratio, stopword ratio",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_spread(spark, sf_dir, "documents")
-    tl = _padded_lower(F.col("text"))
-    stop_hits = _fold_count_subs(tl, [f" {w} " for w in QUALITY_STOPWORDS])
+    df = _with_scores(load_spread(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
     df = df.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
-        # regexp_count == size(regexp_extract_all) without materializing
-        # every matched token string (count-only semantics)
-        F.greatest(
-            F.regexp_count("text", F.lit(r"\S+")), F.lit(1)
-        ).cast("long").alias("n_tokens"),
+        F.col("__n_tok").alias("n_tokens"),
         F.regexp_count("text", F.lit(PUNCT_CLASS))
         .cast("long").alias("n_punct"),
-        stop_hits.cast("long").alias("n_stop"),
+        F.col("__n_stop").alias("n_stop"),
     )
     return df.select(
         "doc_id", "n_chars", "n_tokens",
@@ -277,19 +344,10 @@ def _curate_filtered(spark: SparkSession, sf_dir: str,
     from pyspark.sql.window import Window
 
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
-    tl = _padded_lower(F.col("text"))
-    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
-    df = d.withColumns(scores)
-    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
-    pred = F.when(best == 0, F.lit("und"))
-    for lang in LANG_ORDER:
-        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
-    stop_hits = _fold_count_subs(tl, [f" {w} " for w in QUALITY_STOPWORDS])
+    df = _with_scores(d)
     df = df.withColumns({
-        "lang_pred": pred,
-        "n_tokens": F.greatest(F.regexp_count("text", F.lit(r"\S+")),
-                               F.lit(1)).cast("long"),
-        "__n_stop": stop_hits.cast("long"),
+        "lang_pred": _lang_pred_col(),
+        "n_tokens": F.col("__n_tok"),
         "winner": F.min("doc_id").over(
             Window.partitionBy(F.sha2("text", 256))),
     }).withColumn(
@@ -916,17 +974,10 @@ FROM base GROUP BY lang_pred
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
-    tl = _padded_lower(F.col("text"))
-    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
-    df = d.withColumns(scores)
-    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
-    pred = F.when(best == 0, F.lit("und"))
-    for lang in LANG_ORDER:
-        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    df = _with_scores(d)
     base = df.select(
-        pred.alias("lang_pred"),
-        F.greatest(F.regexp_count("text", F.lit(r"\S+")),
-                   F.lit(1)).cast("long").alias("n_tokens"),
+        _lang_pred_col().alias("lang_pred"),
+        F.col("__n_tok").alias("n_tokens"),
     )
     pct = F.percentile("n_tokens", F.lit([0.5, 0.9, 0.99]))
     return base.groupBy("lang_pred").agg(
@@ -1139,23 +1190,14 @@ FROM ranked
 def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .seq import attach_grouped_prefix
 
-    df = load_spread(spark, sf_dir, "documents")
-    tl = _padded_lower(F.col("text"))
-    scores = {f"sc_{lang}": _lang_score(tl, lang) for lang in LANG_ORDER}
-    df = df.withColumns(scores)
-    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_ORDER])
-    pred = F.when(best == 0, F.lit("und"))
-    for lang in LANG_ORDER:
-        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
-    stop_hits = _fold_count_subs(tl, [f" {w} " for w in QUALITY_STOPWORDS])
-    n_tokens = F.greatest(
-        F.regexp_count("text", F.lit(r"\S+")), F.lit(1)
-    ).cast("long")
+    df = _with_scores(load_spread(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
     scored = df.select(
         "doc_id",
-        pred.alias("lang_pred"),
+        _lang_pred_col().alias("lang_pred"),
         F.round(
-            stop_hits.cast("long").cast("double") / n_tokens.cast("double"), 6
+            F.col("__n_stop").cast("double")
+            / F.col("__n_tok").cast("double"), 6
         ).alias("score"),
     )
     ranked = attach_grouped_prefix(

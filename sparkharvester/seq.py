@@ -20,6 +20,7 @@ Per-task cost is O(rows/P); driver cost is O(P).
 """
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -61,12 +62,21 @@ def attach_global_seq(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
+    # repartitionByRange runs a SEPARATE range-boundary sampling job
+    # that fully evaluates the input before the shuffle evaluates it
+    # again — for callers whose input is an expensive projection the
+    # upstream pipeline ran twice (round-6 audit).  Cache the input
+    # DISK_ONLY so sample + shuffle read one materialization; the eager
+    # localCheckpoint below owns the data afterwards, so the cache is
+    # dropped immediately.
+    df = df.persist(StorageLevel.DISK_ONLY)
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    df.unpersist()
     counts = {
         r["__pid"]: r["cnt"]
         for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
@@ -127,12 +137,17 @@ def attach_grouped_prefix(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     keys = [group_col, *order_cols]
+    # same sampling-job double-evaluation guard as attach_global_seq:
+    # one DISK_ONLY materialization feeds both the range-boundary
+    # sample and the shuffle, then drops once the checkpoint owns it.
+    df = df.persist(StorageLevel.DISK_ONLY)
     ranged = (
         df.repartitionByRange(num_partitions, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    df.unpersist()
     stats = ranged.groupBy("__pid", group_col).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col(succ_col).cast("long")).alias("s"),
