@@ -264,6 +264,110 @@ def _sig_udf():
 
 
 
+# ---------------------------------------------------------------------------
+# fused shingle→minhash path (round 6; guide §4.2): ONE Arrow crossing
+# computes the distinct shingle set and the K minhashes per doc, so the
+# shingle-string arrays never make a second JVM↔Python round-trip
+# through the sig stage (the old pipeline shipped them out of the
+# shingler, through the DISK_ONLY cache, and back INTO _sig_udf).
+# Arithmetic identities keeping oracle parity exact:
+#  - minhash over the DISTINCT shingle set == minhash over the raw
+#    multiset (min is idempotent under duplicates);
+#  - int.from_bytes(md5.digest()) bit-slices equal the
+#    int(hexdigest[a:b], 16) slices (property-tested);
+#  - band hashes derive in the JVM from the sig ints, same
+#    md5(concat(CAST(mh AS STRING)...)) as before.
+# The streaming path keeps the original _shingles_udf/_band_table pair
+# (its batch-parity tests pin that shape).
+# ---------------------------------------------------------------------------
+
+
+def _fused_sig_udf(with_sets: bool):
+    """pandas UDF: text → struct(sigs array<long>, n int[, sh]).
+
+    ``with_sets`` additionally emits the distinct shingle array for
+    exact-Jaccard verification; n = |distinct shingles| (0 ⇒ the doc
+    has no shingle and is dropped by the caller's n > 0 filter — the
+    UDFs are nondeterministic so that filter cannot duplicate them,
+    guide §4.4)."""
+    key = "fused_sets" if with_sets else "fused_sigs"
+    if key not in _UDF_CACHE:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        tok_re = re.compile(_TOKEN_RE)
+        j = np.arange(MINHASH_K, dtype=np.int64)
+
+        def fused(texts: pd.Series) -> pd.DataFrame:
+            sh_l, sig_l, n_l = [], [], []
+            for t in texts:
+                toks = tok_re.findall(t.lower())
+                sh = list(dict.fromkeys(
+                    f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                    for i in range(len(toks) - 2)))
+                n_l.append(len(sh))
+                if with_sets:
+                    sh_l.append(sh)
+                if not sh:
+                    sig_l.append(None)
+                    continue
+                h1 = np.empty(len(sh), dtype=np.int64)
+                h2 = np.empty(len(sh), dtype=np.int64)
+                for i, s in enumerate(sh):
+                    d = hashlib.md5(s.encode()).digest()
+                    h1[i] = int.from_bytes(d[0:8], "big") >> 4
+                    h2[i] = int.from_bytes(d[8:15], "big") | 1
+                sig_l.append((h1[:, None] + h2[:, None] * j[None, :])
+                             .min(axis=0).tolist())
+            cols = {"sigs": sig_l, "n": n_l}
+            if with_sets:
+                cols["sh"] = sh_l
+            return pd.DataFrame(cols, index=texts.index)
+
+        fields = "sigs array<long>, n int" + (
+            ", sh array<string>" if with_sets else "")
+        _UDF_CACHE[key] = pandas_udf(fused, fields).asNondeterministic()
+    return _UDF_CACHE[key]
+
+
+def _docs_sigged(spark: SparkSession, sf_dir: str,
+                 with_sets: bool) -> DataFrame:
+    """(doc_id, sigs, n[, sh]) for every doc with >= 1 shingle."""
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = ["doc_id", F.col("__t.sigs").alias("sigs"),
+            F.col("__t.n").alias("n")]
+    if with_sets:
+        cols.append(F.col("__t.sh").alias("sh"))
+    return (
+        d.withColumn("__t", _fused_sig_udf(with_sets)(F.col("text")))
+        .filter(F.col("__t.n") > 0)
+        .select(*cols)
+    )
+
+
+def _bands_from_sigs(sigged: DataFrame,
+                     carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, *carry], band_id, band_hash) from a sigs column — the
+    JVM twin of _band_table's band derivation (identical band_hash)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[
+                F.element_at(F.col("sigs"), b * LSH_ROWS + r + 1)
+                .cast("string")
+                for r in range(LSH_ROWS)])).alias("band_hash"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    return sigged.select(
+        "doc_id", *carry, F.explode(band_structs).alias("band")
+    ).select("doc_id", *carry, "band.band_id", "band.band_hash")
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -292,7 +396,23 @@ FROM bands a JOIN bands b
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_candidates(_docs_shingled(spark, sf_dir))
+    # fused path: one Arrow crossing, NARROW band cache — shingle
+    # strings never leave the Python worker (1.3 s → ~0.8 s at sf1.0)
+    bands = _bands_from_sigs(_docs_sigged(spark, sf_dir, with_sets=False)) \
+        .persist(_SHINGLE_CACHE_LEVEL)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def _band_table(shingled: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
@@ -408,29 +528,34 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify-side shingle sets (the pandas shingler is the dominant
     # per-doc cost; without the cache it runs twice); DISK_ONLY so the
     # full-table shingle arrays never occupy executor storage memory
-    shingled = _docs_shingled(spark, sf_dir).persist(_SHINGLE_CACHE_LEVEL)
-
     # Round-6 verify restructure (guide §2.3/§3: shuffle fewer bytes,
     # decide with small rows before attaching payloads).  Hot shingles
     # make LSH precision poor on this corpus (~110-doc band buckets →
     # 1.3M candidate pairs at sf1.0 for only 2.5k true pairs), so the
     # old plan attached ~50-element shingle arrays to every candidate
     # and SORT-MERGE-joined the fat intermediate twice (measured 8.8 s
-    # of the 11.6 s total at sf1.0).  Two lossless changes:
-    #  1. the distinct-set SIZE rides the band table (one int), and the
+    # of the 11.6 s total at sf1.0).  Three lossless changes:
+    #  1. ONE fused Arrow pass emits distinct shingles + sigs + n
+    #     (_fused_sig_udf), cached DISK_ONLY once — the old pipeline
+    #     round-tripped the shingle arrays through a second Python
+    #     stage for the signatures.
+    #  2. the distinct-set SIZE rides the band table (one int), and the
     #     self-join condition adds min(n)/max(n) >= T — a strict upper
     #     bound on Jaccard (|∩| <= min, |∪| >= max), so no qualifying
     #     pair can be dropped; division is correctly rounded and
     #     monotone, hence jac >= T always implies the bound passes.
     #     Candidates drop ~3x BEFORE the distinct.
-    #  2. the array attach uses SHUFFLE_HASH joins: the pair table
+    #  3. the array attach uses SHUFFLE_HASH joins: the pair table
     #     streams against a per-partition hash of the sets — no sort of
     #     array-typed rows, and nothing corpus-sized is broadcast.
-    # Measured at sf1.0: 11.6 s → ~3 s, byte-identical output.
-    shingled_n = shingled.withColumn(
-        "__n", F.size(F.array_distinct("shingles")))
-    bands = _band_table(shingled_n, carry=("__n",)) \
+    # Measured at sf1.0: 11.6 s → ~4 s, byte-identical output.
+    base = _docs_sigged(spark, sf_dir, with_sets=True) \
         .persist(_SHINGLE_CACHE_LEVEL)
+    # narrow band cache: the self-join would otherwise deserialize the
+    # fat base cache (shingle arrays) once per side just to re-derive
+    # the bands
+    bands = _bands_from_sigs(base.withColumnRenamed("n", "__n"),
+                             carry=("__n",)).persist(_SHINGLE_CACHE_LEVEL)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -447,9 +572,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = shingled.select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
-    )
+    sets = base.select("doc_id", "sh")
     aa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     bb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -834,9 +957,10 @@ WHERE jac >= {JACCARD_THRESHOLD}
         f"Jaccard >= {JACCARD_THRESHOLD} verify on candidates only",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = _docs_shingled(spark, sf_dir).persist(_SHINGLE_CACHE_LEVEL)
+    base = _docs_sigged(spark, sf_dir, with_sets=True) \
+        .persist(_SHINGLE_CACHE_LEVEL)
     is_batch = F.col("doc_id") % _INC_BATCH_MOD == 0
-    bands = _band_table(shingled)
+    bands = _bands_from_sigs(base)
 
     new_bands = bands.filter(is_batch).select(
         F.col("doc_id").alias("new_doc"), "band_id", "band_hash")
@@ -854,7 +978,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sets = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    sets = base.select("doc_id", "sh")
     a = sets.select(F.col("doc_id").alias("new_doc"),
                     F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("corpus_doc"),
