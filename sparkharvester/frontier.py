@@ -450,7 +450,13 @@ def run_crawl(
 
         blacklisted = is_blacklisted(F.col("canon_url"), cfg.blacklist) \
             | F.col("robots_blocked")
-        gated = cand.withColumn("blacklisted", blacklisted)
+        # gated is referenced three times below (fetch input, the
+        # blacklist re-attach join, the skipped rows) — without a
+        # persist the whole candidate pipeline (seen anti-join +
+        # politeness + robots + repartition) re-executed once per
+        # reference (round-6 audit; guide §5 caching-for-reuse).
+        # Narrow rows (URLs + flags), unpersisted at round end.
+        gated = cand.withColumn("blacklisted", blacklisted).cache()
 
         # fetch ONLY non-blacklisted rows (crawler.py:167-171: blacklist
         # checked before paying for the fetch) — blacklisted rows rejoin
@@ -470,7 +476,13 @@ def run_crawl(
             F.lit(0.0).alias("latency"), F.lit(-1).alias("fetch_partition"),
             F.lit(True).alias("blacklisted"),
         )
-        fetched = fetched.unionByName(skipped_rows)
+        # cache the RAW fetch output: the link-extraction branch below is
+        # joined back into this frame AND re-read for next_frontier, and
+        # without the persist each reference re-ran the fetch stage from
+        # scratch (round-6 audit: the fetch UDF processed ~2x the unique
+        # rows per crawl).  Unpersisted at round end.
+        fetched = fetched.unionByName(skipped_rows).cache()
+        fetched_raw = fetched   # handle for the round-end unpersist
 
         # ---- failed-fetch re-enqueue (I3 distributed: retries are
         # frontier rows with a future not_before, not inline sleeps) ----
@@ -506,6 +518,9 @@ def run_crawl(
             .withColumn("link", canonicalize_udf(F.col("resolved")))     # X1
             .select("seed_id", F.col("canon_url").alias("parent"), "link")
             .distinct()
+            # two consumers (link_counts + next_frontier): cache so the
+            # explode + urljoin/canonicalize Arrow passes run once
+            .cache()
         )
         link_counts = exploded.groupBy("seed_id", F.col("parent").alias("canon_url")) \
                               .agg(F.count("*").alias("links_found"))
@@ -670,6 +685,9 @@ def run_crawl(
         store.write_delta(results_r, "pages", round_no)
         store.write_delta(metrics_r, "metrics", round_no)
         fetched.unpersist()
+        fetched_raw.unpersist()
+        exploded.unpersist()
+        gated.unpersist()
         frontier = store.read(spark, "frontier", round_no)
         seen = store.read_deltas(spark, "seen_urls", SEEN_SCHEMA, round_no)
         seen_hashes = store.read_deltas(spark, "seen_hashes", HASHES_SCHEMA,
