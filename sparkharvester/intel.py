@@ -88,6 +88,38 @@ def ioc_columns(text: Column) -> dict[str, Column]:
     return cols
 
 
+def ioc_total_column(text: Column) -> Column:
+    """``ioc_total`` alone, without materializing the 11 sorted arrays:
+    sum of size(array_distinct(extract_all)) per type (the ipv4
+    private-prefix filter and urls cap applied as in ioc_column).
+    size(array_sort(x)) == size(x), so this equals
+    sum(size(ioc_column(...))) — for consumers that never read the
+    arrays (a7 rollup, viz layout) the sorts were pure waste
+    (round 6; guide §1.2 don't-compute-what-you-throw-away)."""
+    total = None
+    for t in IOC_LIST_FIELDS:
+        raw = F.regexp_extract_all(text, F.lit(IOC_PATTERNS[t]), F.lit(0))
+        if t == "ipv4":
+            def keep(ip: Column) -> Column:
+                cond = F.lit(False)
+                for p in PRIVATE_IP_PREFIXES:
+                    cond = cond | ip.startswith(p)
+                return ~cond
+            s = F.size(F.array_distinct(F.filter(raw, keep)))
+        elif t == "urls":
+            s = F.least(F.size(F.array_distinct(raw)), F.lit(URL_IOC_CAP))
+        else:
+            # cves upper-case before dedup, but the synth corpus's CVE
+            # matches are already case-normalized per doc — and
+            # distinct-count is case-insensitive-stable only when all
+            # matches share case.  Keep the transform for exactness.
+            if t == "cves":
+                raw = F.transform(raw, lambda x: F.upper(x))
+            s = F.size(F.array_distinct(raw))
+        total = s if total is None else total + s
+    return total
+
+
 def with_iocs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append IOC columns to *df* (replaces intelligence.py:239-271).
 

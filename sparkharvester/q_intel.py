@@ -95,7 +95,11 @@ GROUP BY s.source
     bench=True,
 )
 def a7_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = intel.with_intel(_docs(spark, sf_dir))
+    # threat columns + the bare ioc_total — the rollup never reads the
+    # 11 per-type IOC arrays, so with_intel's sorted-array build was
+    # dead weight (intel.ioc_total_column docstring)
+    df = intel.with_threat(_docs(spark, sf_dir)).withColumn(
+        "ioc_total", intel.ioc_total_column(F.col("text")))
     return (
         df.groupBy(F.col("source").alias("site"))
         .agg(

@@ -228,7 +228,10 @@ def viz_graph_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         enriched_text_spark(F.col("doc_id"), F.col("text")).alias("text"),
     )
-    pages = intel.with_intel(d).select(
+    # threat + bare ioc_total: the layout reads only risk_label and the
+    # total, never the per-type arrays (intel.ioc_total_column)
+    pages = intel.with_threat(d).withColumn(
+        "ioc_total", intel.ioc_total_column(F.col("text"))).select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
         F.col("source").alias("site"),
         "risk_label", "ioc_total",
