@@ -535,7 +535,13 @@ def img_dup_pixel_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .images import make_images_with_dups, pixel_verify_pairs
     from .q_more import phash_hamming_pairs
 
-    imgs = make_images_with_dups(spark, n=64).persist()
+    # DISK_ONLY per the house payload-cache rationale (q_dedup
+    # _SHINGLE_CACHE_LEVEL): encoded image payloads must not occupy
+    # executor storage memory (ADVICE r5)
+    from pyspark import StorageLevel
+
+    imgs = make_images_with_dups(spark, n=64) \
+        .persist(StorageLevel.DISK_ONLY)
     ph = imgs.select(F.col("image_id").alias("img_id"),
                      F.col("phash").alias("ph"))
     return pixel_verify_pairs(imgs, phash_hamming_pairs(ph))

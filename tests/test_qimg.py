@@ -149,11 +149,13 @@ def test_caption_spam_flags_template_only(spark, sf_dir):
         assert r.n_ph_groups >= CAPTION_SPAM_GROUPS
 
 
-def test_img_dup_pixel_verified_classifies_injected_dups(spark):
+def test_img_dup_pixel_verified_classifies_injected_dups(spark, sf_dir):
     from sparkharvester.registry import all_queries
 
+    # the query's input is fully synthetic; sf_dir is passed only to
+    # honor the builder signature (ADVICE r5: no hardcoded paths)
     rows = all_queries()["img_dup_pixel_verified"].build(
-        spark, "/root/testdata/sf0.001").collect()
+        spark, sf_dir).collect()
     # n=64, every 4th base image gets -xc (exact re-encode) and -nc
     # (perturbed): 16 groups x 3 pairs, all found (phash-banded LSH has
     # exact recall at hamming <= 3 and the injected dups stay within it)
