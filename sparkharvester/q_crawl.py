@@ -1029,7 +1029,11 @@ FROM m
 def crawl_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .robots import attach_robots_blocked
 
-    cand = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc_id-only rows: the single-row-group scan otherwise
+    # runs the whole rlike matching pass on one partition (round 6)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cand = d.select(
         "doc_id",
         F.concat(
             F.substring(

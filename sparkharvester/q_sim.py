@@ -71,6 +71,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pivot = emb.orderBy("vec_id").limit(1).collect()[0]
     qv = F.lit([float(x) for x in pivot["embedding"]])
+    # single-row-group scan → spread before the per-element cosine fold
+    # (interpreted HOF lambdas; one partition ran the whole corpus)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     return (
         emb.filter(F.col("vec_id") != int(pivot["vec_id"]))
         .select(

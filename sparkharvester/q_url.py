@@ -30,9 +30,14 @@ _URLS_SQL = f"(SELECT doc_id, {synth_url_sql()} AS url FROM documents)"
 
 
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", synth_url_spark(F.col("doc_id")).alias("url")
-    )
+    # the driver tables are single-row-group parquet files, so the scan
+    # is ONE partition — spread the (doc_id-only) rows before the regex
+    # canonicalization pipeline runs, or it executes single-core
+    # (round 6; same rationale as session.load_spread, but only doc_id
+    # crosses the exchange here)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.select("doc_id", synth_url_spark(F.col("doc_id")).alias("url"))
 
 
 @register(
