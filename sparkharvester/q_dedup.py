@@ -877,9 +877,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_minhash_lsh: sh is already the distinct shingle set, and the
     # shared plan lets the cache manager serve the corpus pass from the
     # sibling queries' cache inside one session (the bench).
-    sh0 = _docs_sigged(spark, sf_dir, with_sets=True).select(
-        "doc_id", F.explode("sh").alias("s")
-    ).persist(_SHINGLE_CACHE_LEVEL)
+    base = _docs_sigged(spark, sf_dir, with_sets=True) \
+        .persist(_SHINGLE_CACHE_LEVEL)
+    # sh0 is NOT persisted: both of its consumers re-derive it with one
+    # cheap explode over the cached base — a second DISK_ONLY fill of
+    # the exploded 1-row-per-shingle table cost more than it saved
+    # (round-6 audit)
+    sh0 = base.select("doc_id", F.explode("sh").alias("s"))
     hot = sh0.groupBy("s").count().filter(F.col("count") > DF_CAP).select("s")
     sh = sh0.join(F.broadcast(hot), "s", "left_anti") \
             .persist(_SHINGLE_CACHE_LEVEL)
@@ -887,7 +891,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
+        # SHUFFLE_HASH: per-partition hash build over the pruned shingle
+        # rows instead of sorting both 1-row-per-shingle sides
+        a.join(b.hint("shuffle_hash"), (F.col("a.s") == F.col("b.s"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("c"))

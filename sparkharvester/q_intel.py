@@ -38,6 +38,21 @@ _DOCS_SQL = (
 _N_CATS = len(CATEGORY_ORDER)
 
 
+def _threat_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, source, risk/threat columns, ioc_total) frame,
+    persisted DISK_ONLY.  a4 / a7 / viz_graph_layout all need exactly
+    this enrichment (the 124-keyword Arrow pass + scoring + the bare
+    IOC total) and each used to recompute it from the scan; building
+    them from ONE plan lets Spark's cache manager serve the corpus
+    pass once per session (the dedup-family device).  text is dropped
+    — nothing downstream reads it, so the cache stays narrow."""
+    from pyspark import StorageLevel
+
+    df = intel.with_threat(_docs(spark, sf_dir)).withColumn(
+        "ioc_total", intel.ioc_total_column(F.col("text")))
+    return df.drop("text").persist(StorageLevel.DISK_ONLY)
+
+
 # ---------------------------------------------------------------------------
 # A4 — risk-distribution histogram (report.py:315-320)
 # ---------------------------------------------------------------------------
@@ -53,6 +68,10 @@ FROM scored GROUP BY risk_label
     bench=True,
 )
 def a4_risk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT the shared _threat_table: a4 needs only the
+    # threat columns (no ioc_total), runs first in the bench order, and
+    # would absorb the shared frame's fill cost; its own pruned
+    # with_threat plan is cheaper standalone.
     return (
         intel.with_threat(_docs(spark, sf_dir))
         .groupBy("risk_label")
@@ -98,8 +117,7 @@ def a7_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threat columns + the bare ioc_total — the rollup never reads the
     # 11 per-type IOC arrays, so with_intel's sorted-array build was
     # dead weight (intel.ioc_total_column docstring)
-    df = intel.with_threat(_docs(spark, sf_dir)).withColumn(
-        "ioc_total", intel.ioc_total_column(F.col("text")))
+    df = _threat_table(spark, sf_dir)
     return (
         df.groupBy(F.col("source").alias("site"))
         .agg(

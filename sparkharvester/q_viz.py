@@ -224,14 +224,12 @@ SELECT * FROM site_rows UNION ALL SELECT * FROM page_rows
         "integer-exact coordinates, engine-stable)",
 )
 def viz_graph_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", "source",
-        enriched_text_spark(F.col("doc_id"), F.col("text")).alias("text"),
-    )
-    # threat + bare ioc_total: the layout reads only risk_label and the
-    # total, never the per-type arrays (intel.ioc_total_column)
-    pages = intel.with_threat(d).withColumn(
-        "ioc_total", intel.ioc_total_column(F.col("text"))).select(
+    # shared threat frame (q_intel._threat_table): same plan as a4/a7,
+    # so one session computes the enrichment once; the layout reads
+    # only risk_label and the bare ioc_total
+    from .q_intel import _threat_table
+
+    pages = _threat_table(spark, sf_dir).select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
         F.col("source").alias("site"),
         "risk_label", "ioc_total",
