@@ -74,17 +74,76 @@ def register(name: str, oracle: Optional[str] = None, doc: str = "",
 
 ATTEST_WINDOW = 50
 
-# Rotated to the FRONT for round 5 (never driver-attested, or lost
-# their r3 row to the window, or changed this round).
+# Rotated to the FRONT for round 6: every query whose implementation
+# the optimization round touched (the driver must re-attest the new
+# plans produce identical results) PLUS all 27 entries parked in r5,
+# which are due back under the 2-round rotation contract.
 ATTEST_FIRST: list[str] = [
-    # never driver-attested in any round (VERDICT r4)
-    "crawl_three_rounds",
+    # dedup family — fused shingle+sig Arrow pass, size-bounded verify,
+    # CDC chunker/window rework (round-6 optimization)
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_components",
     "dedup_multimodal",
+    "dedup_cdc_passages",
+    # text/curation — fused language/quality scores UDF, seq input
+    # caching, nondeterministic-UDF filter fixes
+    "text_langid",
+    "text_quality",
+    "text_quality_buckets",
+    "text_corpus_stats",
+    "curate_sample",
+    "curate_training_set",
+    "curate_shards",
+    "curate_final",
+    "text_repetition",
+    # intel/viz — lean ioc_total, shared threat frame
+    "a4_risk_histogram",
+    "a7_site_rollup",
+    "viz_graph_layout",
+    # url/sim/rel/crawl — scan spreading, shuffle-hash joins,
+    # per-round crawl caching
+    "x1_canonicalize",
+    "f_url_filters",
+    "x1_canonicalize_exact",
+    "sim_cosine_topk",
+    "rel_segment_revenue",
+    "crawl_robots_precedence",
+    "crawl_two_rounds",
+    "crawl_three_rounds",
+    "crawl_bfs",
+    "crawl_metrics",
+    "crawl_round_gates",
+    "crawl_round_stats",
+    "img_dup_pixel_verified",
+    # r5-parked, unchanged — due back this round (rotation contract)
+    "a2_intel_summary",
+    "a3_top_categories",
+    "a6_distinct_sites",
+    "d6_global_iocs",
+    "o1_high_risk_topk",
+    "x20_keyword_hits",
+    "text_tokens",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "rel_pricing_summary",
+    "rel_brand_revenue",
+    "rel_nation_revenue",
+    "events_hourly",
+    "x_ioc_extract",
+    "events_sessions",
+]
+
+# Rotated OUT for round 6 (driver-green in r5 and untouched by the
+# optimization round; due back in the round-7 window).
+ATTEST_PARKED: list[str] = [
     "img_curate",
     "img_phash_components",
     "img_hamming_knn",
     "img_shards",
-    # r3-green orphans that lost their driver row in r4
     "j1_left_outer",
     "u1_set_difference",
     "o6_recent_events",
@@ -92,61 +151,24 @@ ATTEST_FIRST: list[str] = [
     "graph_pagerank",
     "dedup_embedding_pairs",
     "dedup_phash_hamming",
-    # changed or added in round 5 — must be re-attested
-    # (new round-5 queries are appended here as each one lands; the
-    # test_attestation_slate_invariants test keeps the lists honest)
-    "curate_final",
-    "viz_graph_layout",
     "sim_ivf_recall",
     "sim_pq_recall",
-    "crawl_robots_precedence",
     "crawl_robots_gate",
     "curate_domain_mix",
-    "dedup_cdc_passages",
-    "text_quality_buckets",
     "img_caption_spam",
     "rel_asof_join",
     "rel_range_join",
     "img_aspect_buckets",
     "curate_decontaminate_bloom",
     "audio_invariants",
-    "img_dup_pixel_verified",
-]
-
-# Rotated OUT for round 5 (driver-green in r4 and unchanged; due back
-# in the round-6 window).
-ATTEST_PARKED: list[str] = [
-    "a4_risk_histogram",
-    "a2_intel_summary",
-    "a3_top_categories",
-    "a6_distinct_sites",
-    "d6_global_iocs",
-    "o1_high_risk_topk",
-    "x20_keyword_hits",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "rel_pricing_summary",
-    "rel_segment_revenue",
-    "rel_brand_revenue",
-    "rel_nation_revenue",
-    "events_hourly",
-    "f_url_filters",
-    "curate_sample",
-    "x_ioc_extract",
-    "events_sessions",
-    "text_corpus_stats",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
-    # parked for r5 to make room for audio_invariants (urlnorm contract
-    # unchanged since its r4 driver row; pinned by test_urlnorm vectors)
-    "x1_canonicalize",
-    # parked for r5 to make room for img_dup_pixel_verified (r4-green,
-    # unchanged; the recall siblings in the window cover the family)
-    "sim_cosine_topk",
+    "curate_decontaminate",
+    "sim_ivf_ann",
+    "sim_ivf_exhaustive",
+    "sim_pq_refine",
+    "sim_pq_exhaustive",
+    "rel_small_qty_revenue",
+    "images_invariants",
+    "crawl_priority_order",
 ]
 
 
