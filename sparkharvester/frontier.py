@@ -678,12 +678,27 @@ def run_crawl(
         if init_seen_pending is not None:
             seen_commit = seen_commit.unionByName(init_seen_pending)
             init_seen_pending = None
-        store.write(new_frontier, "frontier", round_no)
-        store.write_delta(seen_commit, "seen_urls", round_no)
-        store.write_delta(results_r.select("content_hash"), "seen_hashes",
-                          round_no)
-        store.write_delta(results_r, "pages", round_no)
-        store.write_delta(metrics_r, "metrics", round_no)
+        # the five snapshot writes are mutually independent and every
+        # input frame above is cached, so run them as concurrent jobs
+        # (guide §2.6 overlap-independent-jobs): each write's tail of
+        # straggler tasks back-fills executors freed by the others.
+        # The commit stays strictly AFTER the join below, so the
+        # atomic-manifest resume contract is unchanged; a failure in
+        # any write raises here, before commit, exactly as the
+        # sequential form did.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: store.write(new_frontier, "frontier", round_no),
+            lambda: store.write_delta(seen_commit, "seen_urls", round_no),
+            lambda: store.write_delta(results_r.select("content_hash"),
+                                      "seen_hashes", round_no),
+            lambda: store.write_delta(results_r, "pages", round_no),
+            lambda: store.write_delta(metrics_r, "metrics", round_no),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()
         fetched.unpersist()
         fetched_raw.unpersist()
         exploded.unpersist()
