@@ -105,3 +105,67 @@ def test_cuckoo_partitioned_build_merge(spark):
     assert not cf.overflow
     keys = pd.Series([f"u-{i}" for i in range(3000)])
     assert cf.contains_series(keys).all()      # merge kept every key
+
+
+def test_incremental_delta_merge_equals_full_build(spark):
+    """Round-6 incremental sketch contract: OR-merging same-geometry
+    DELTA sketches over a partition of the keys is bit-identical to one
+    full build (bloom adds are deterministic), and the cuckoo variant
+    answers membership identically for all inserted keys."""
+    from sparkharvester.seen import build_cuckoo
+
+    keys = [f"k{i}" for i in range(3000)]
+    df_all = spark.createDataFrame([(k,) for k in keys], "k string")
+    df_a = spark.createDataFrame([(k,) for k in keys[:1000]], "k string")
+    df_b = spark.createDataFrame([(k,) for k in keys[1000:]], "k string")
+
+    full = build_bloom(df_all, "k", expected_items=4000)
+    inc = build_bloom(df_a, "k", expected_items=4000)
+    inc = inc.merge(build_bloom(df_b, "k", expected_items=1,
+                                params=(full.n_bits, full.k)))
+    assert (inc.n_bits, inc.k) == (full.n_bits, full.k)
+    assert np.array_equal(inc.bits, full.bits)
+
+    cfull = build_cuckoo(df_all, "k", expected_items=4000)
+    cinc = build_cuckoo(df_a, "k", expected_items=4000)
+    cinc = cinc.merge(build_cuckoo(df_b, "k", expected_items=1,
+                                   n_buckets=cfull.n_buckets))
+    s = pd.Series(keys)
+    assert cinc.contains_series(s).all()
+    assert not cinc.overflow
+
+
+def test_bloom_crawl_incremental_and_resume_sidecar(spark, tmp_path):
+    """Bloom run == exact run with the incremental per-round sketch,
+    the sidecar lands in the snapshot each round, and a resumed crawl
+    (which loads the sidecar instead of rebuilding) stays bit-exact."""
+    import os
+
+    from sparkharvester.frontier import CrawlConfig, run_crawl
+    from sparkharvester.synth import SynthConfig, seed_urls
+
+    synth = SynthConfig(n_hosts=3, pages_per_host=15)
+    seeds = seed_urls(synth)
+    base = run_crawl(spark, seeds, synth,
+                     CrawlConfig(max_depth=2, max_pages=15))
+    bloom = run_crawl(spark, seeds, synth,
+                      CrawlConfig(max_depth=2, max_pages=15, use_bloom=True))
+    key = lambda eng: {(r["seed_id"], r["url"], r["depth"])
+                       for r in eng.pages.collect()}
+    assert key(base) == key(bloom)
+    assert base.stats == bloom.stats
+    # one sidecar per committed round
+    sidecars = sorted(os.listdir(os.path.join(bloom.store_root, "sketch")))
+    assert len(sidecars) == bloom.rounds
+
+    # interrupted + resumed bloom crawl == one-shot run
+    ckpt = str(tmp_path / "snap")
+    run_crawl(spark, seeds, synth,
+              CrawlConfig(max_depth=2, max_pages=15, use_bloom=True,
+                          checkpoint_dir=ckpt, stop_after_round=0))
+    resumed = run_crawl(spark, seeds, synth,
+                        CrawlConfig(max_depth=2, max_pages=15,
+                                    use_bloom=True),
+                        resume_from=ckpt)
+    assert key(resumed) == key(base)
+    assert resumed.stats == base.stats
