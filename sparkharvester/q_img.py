@@ -316,6 +316,9 @@ def img_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_grouped_prefix(
         g, "__g", ["img_id"],
         succ_col="n_pixels", cum_col="cum_pixels", idx_col="__idx",
+        # |curated images| <= |documents| (the synthetic image corpus is
+        # doc-derived): metadata-cheap bound for the adaptive window path
+        known_count=load(spark, sf_dir, "documents").count(),
     )
     return out.select(
         "img_id", "n_pixels", "cum_pixels",

@@ -426,6 +426,9 @@ def curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_grouped_prefix(
         g, "__g", ["doc_id"],
         succ_col="n_tokens", cum_col="cum_tokens", idx_col="__idx",
+        # |curated| <= |documents|: a metadata-cheap upper bound that
+        # lets the scale-adaptive window path run below threshold
+        known_count=load(spark, sf_dir, "documents").count(),
     )
     return out.select(
         "doc_id", "n_tokens", "cum_tokens",
@@ -1188,7 +1191,7 @@ FROM ranked
         "range-partitioned grouped prefix sums, no per-language window",
 )
 def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .seq import attach_grouped_prefix
+    from .seq import SEQ_WINDOW_THRESHOLD, attach_grouped_prefix
 
     df = _with_scores(load_spread(spark, sf_dir, "documents")
                       .select("doc_id", "text"))
@@ -1200,6 +1203,28 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("__n_tok").cast("double"), 6
         ).alias("score"),
     )
+    # scale-adaptive rank (the attach_global_seq device): below the
+    # window threshold the oracle's own two-window formulation — one
+    # lang_pred shuffle, no checkpoint machinery, no join — is cheaper;
+    # the parquet row count is a metadata-cheap upper bound.  Above it,
+    # the range-partitioned grouped prefix sum keeps per-task work
+    # bounded (no per-language window task at 10^10 docs).
+    n_docs = load(spark, sf_dir, "documents").count()
+    if n_docs <= SEQ_WINDOW_THRESHOLD:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("lang_pred")
+        ranked = scored.withColumn(
+            "lang_rank",
+            F.row_number().over(w.orderBy("score", "doc_id")).cast("long"),
+        ).withColumn("n_lang", F.count("*").over(w))
+        r, n = F.col("lang_rank"), F.col("n_lang")
+        return ranked.select(
+            "doc_id", "lang_pred", "score", "lang_rank", "n_lang",
+            F.when((r - 1) * 3 < n, F.lit("tail"))
+            .when((r - 1) * 3 < 2 * n, F.lit("middle"))
+            .otherwise(F.lit("head")).alias("bucket"),
+        )
     ranked = attach_grouped_prefix(
         scored.withColumn("__zero", F.lit(0)),
         "lang_pred", ["score", "doc_id"],

@@ -114,6 +114,7 @@ def attach_grouped_prefix(
     cum_col: str,
     idx_col: str,
     num_partitions: int | None = None,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Scalable equivalent of the per-group window pair
 
@@ -129,10 +130,30 @@ def attach_grouped_prefix(
     group) counts/sums prefix-summed on the driver (P × n_groups tiny
     rows) and applied in one mapInPandas pass.  Deterministic for
     per-row-unique (group, *order) keys.
+
+    *known_count*: a row count (or cheap UPPER BOUND, e.g. the parquet
+    row count of the table the input derives from) already known
+    driver-side.  At or below ``SEQ_WINDOW_THRESHOLD`` the plain window
+    pair runs instead — identical values, none of the checkpoint/extra-
+    job machinery that only pays for itself at scale (the same
+    scale-adaptive device ``attach_global_seq`` ships; the window-path
+    == prefix-path equality is pinned by tests/test_seq.py).
     """
     from collections import defaultdict
 
     spark = df.sparkSession
+    if known_count is not None and known_count <= SEQ_WINDOW_THRESHOLD:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy(*order_cols)
+        return df.withColumn(
+            cum_col,
+            F.coalesce(
+                F.sum(F.col(succ_col).cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast(LongType()),
+            ),
+        ).withColumn(idx_col, F.row_number().over(w).cast(LongType()))
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 

@@ -260,6 +260,16 @@ def test_grouped_prefix_matches_window(spark):
         ).collect()
     }
     assert got == expected
+    # the scale-adaptive window fallback (known_count below threshold)
+    # must agree with the prefix path value-for-value, types included
+    win = attach_grouped_prefix(
+        df, "g", ["k"], "succ", "cum", "idx", known_count=5000
+    )
+    got_win = {(r["g"], r["k"]): (r["cum"], r["idx"])
+               for r in win.collect()}
+    assert got_win == expected
+    assert dict(win.dtypes)["cum"] == "bigint"
+    assert dict(win.dtypes)["idx"] == "bigint"
 
 
 def test_scalable_cap_window_crawl_identical(spark):

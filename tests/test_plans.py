@@ -106,12 +106,21 @@ def test_range_join_is_hash_join_on_buckets(spark, sf_dir):
             or "SortMergeJoin" in plan)
 
 
-def test_quality_buckets_no_rescan_and_no_lang_window(spark, sf_dir):
-    """Tercile counts read the grouped-prefix localCheckpoint (no
-    second parquet scan of documents) and ranking never uses a
-    per-language Window (the dominant language would land in one
-    task)."""
+def test_quality_buckets_no_rescan_and_no_lang_window(spark, sf_dir,
+                                                      monkeypatch):
+    """Above the adaptive threshold: tercile counts read the
+    grouped-prefix localCheckpoint (no second parquet scan of
+    documents) and ranking never uses a per-language Window (the
+    dominant language would land in one task).  Below it: the oracle's
+    own two-window shape over a single scan, no join."""
+    import sparkharvester.seq as seq
+
+    monkeypatch.setattr(seq, "SEQ_WINDOW_THRESHOLD", 0)   # force scale path
     plan = _plan(all_queries()["text_quality_buckets"].build(spark, sf_dir))
     assert "Scan parquet" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan      # |langs|-row counts broadcast
+    monkeypatch.undo()
+    plan = _plan(all_queries()["text_quality_buckets"].build(spark, sf_dir))
+    assert "Window" in plan                 # adaptive small path
+    assert "Join" not in plan               # rank+count ride one shuffle
