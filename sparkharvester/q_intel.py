@@ -68,12 +68,15 @@ FROM scored GROUP BY risk_label
     bench=True,
 )
 def a4_risk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT the shared _threat_table: a4 needs only the
-    # threat columns (no ioc_total), runs first in the bench order, and
-    # would absorb the shared frame's fill cost; its own pruned
-    # with_threat plan is cheaper standalone.
+    # Reads the shared _threat_table: a4 runs first in bench order and
+    # so absorbs the frame's fill (including the ioc_total it does not
+    # need, ~+0.5 s), but a7 and viz then read the cache instead of
+    # re-running the 124-keyword Arrow pass — measured family total
+    # 3.36 s -> 2.67 s at a 50k-doc scale (a4 1.18->1.72, a7
+    # 1.61->0.32, viz ~flat).  Standalone a4 is ~0.5 s worse than its
+    # own pruned plan; the session-level sum is what the bench pays.
     return (
-        intel.with_threat(_docs(spark, sf_dir))
+        _threat_table(spark, sf_dir)
         .groupBy("risk_label")
         .agg(F.count("*").alias("n"))
     )
