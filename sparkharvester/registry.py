@@ -118,6 +118,9 @@ ATTEST_FIRST: list[str] = [
     "crawl_round_gates",
     "crawl_round_stats",
     "img_dup_pixel_verified",
+    # continuation session: img_shards gained the adaptive window path
+    # (seq.attach_grouped_prefix known_count) — touched, so re-attest
+    "img_shards",
     # r5-parked, unchanged — due back this round (rotation contract)
     "a2_intel_summary",
     "a3_top_categories",
@@ -143,7 +146,6 @@ ATTEST_PARKED: list[str] = [
     "img_curate",
     "img_phash_components",
     "img_hamming_knn",
-    "img_shards",
     "j1_left_outer",
     "u1_set_difference",
     "o6_recent_events",
