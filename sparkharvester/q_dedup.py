@@ -404,7 +404,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and this query reads the cache.
     base = _docs_sigged(spark, sf_dir, with_sets=True) \
         .persist(_SHINGLE_CACHE_LEVEL)
-    bands = _bands_from_sigs(base).persist(_SHINGLE_CACHE_LEVEL)
+    # band table persisted with the SAME plan shape dedup_lsh_verified
+    # caches (set size carried as __n, unused here): the cache manager
+    # matches persisted plans structurally, so a session running both
+    # queries fills ONE band cache instead of two — the carried int is
+    # noise when this query runs alone.
+    bands = _bands_from_sigs(base.withColumnRenamed("n", "__n"),
+                             carry=("__n",)).persist(_SHINGLE_CACHE_LEVEL)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
